@@ -1,0 +1,305 @@
+"""Box geometry ops in JAX: rotated IoU, NMS, box coding, point-in-box.
+
+TPU-native replacements for the reference CUDA kernels in
+``/root/reference/pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu`` (rotated BEV
+overlap + bitmask NMS) and the numba.cuda eval IoU
+(``.../kitti_object_eval_python/rotate_iou.py:17-232``). The rotated-rect
+intersection is computed with fixed-size candidate-vertex buffers (corners
+inside the other box + pairwise edge intersections), an angular sort around
+the centroid, and the shoelace formula — all dense vector ops, no dynamic
+shapes. Boxes are (x, y, z, dx, dy, dz, heading) in LiDAR frame.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-8
+
+
+def limit_period(val, offset=0.5, period=jnp.pi):
+    return val - jnp.floor(val / period + offset) * period
+
+
+def rotate_points_along_z(points, angle):
+    """Rotate (B, N, 3+C) points by (B,) angles around +z (x toward y)."""
+    cosa, sina = jnp.cos(angle), jnp.sin(angle)
+    zeros = jnp.zeros_like(angle)
+    ones = jnp.ones_like(angle)
+    rot = jnp.stack([cosa, sina, zeros,
+                     -sina, cosa, zeros,
+                     zeros, zeros, ones], axis=1).reshape(-1, 3, 3)
+    xyz = jnp.einsum('bnc,bcd->bnd', points[..., 0:3], rot)
+    return jnp.concatenate([xyz, points[..., 3:]], axis=-1)
+
+
+def boxes_to_corners_bev(boxes):
+    """BEV corners (N, 4, 2) of (N, 7) boxes, counter-clockwise."""
+    dx, dy = boxes[:, 3], boxes[:, 4]
+    template = jnp.asarray([[0.5, 0.5], [-0.5, 0.5], [-0.5, -0.5],
+                            [0.5, -0.5]], dtype=boxes.dtype)
+    corners = template[None] * jnp.stack([dx, dy], -1)[:, None, :]
+    angle = boxes[:, 6]
+    cosa, sina = jnp.cos(angle), jnp.sin(angle)
+    x = corners[..., 0] * cosa[:, None] - corners[..., 1] * sina[:, None]
+    y = corners[..., 0] * sina[:, None] + corners[..., 1] * cosa[:, None]
+    return jnp.stack([x, y], -1) + boxes[:, None, 0:2]
+
+
+def boxes_to_corners_3d(boxes):
+    """All 8 corners (N, 8, 3). Order matches the reference box_utils
+    (``/root/reference/pcdet/utils/box_utils.py`` corner template)."""
+    template = jnp.asarray([
+        [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+        [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+    ], dtype=boxes.dtype) / 2.0
+    corners = boxes[:, None, 3:6] * template[None]
+    corners = rotate_points_along_z(corners, boxes[:, 6])
+    return corners + boxes[:, None, 0:3]
+
+
+def _point_in_rect(points, box):
+    """points (..., 2) inside a single rotated rect (7,) in BEV."""
+    d = points - box[0:2]
+    cosa, sina = jnp.cos(box[6]), jnp.sin(box[6])
+    lx = d[..., 0] * cosa + d[..., 1] * sina
+    ly = -d[..., 0] * sina + d[..., 1] * cosa
+    return (jnp.abs(lx) <= box[3] / 2 + EPS) & (jnp.abs(ly) <= box[4] / 2 + EPS)
+
+
+def _seg_intersections(ca, cb):
+    """Pairwise intersections of the 4 edges of two quads.
+
+    Returns points (16, 2) and validity (16,).
+    """
+    a0 = ca                              # (4, 2)
+    a1 = jnp.roll(ca, -1, axis=0)
+    b0 = cb
+    b1 = jnp.roll(cb, -1, axis=0)
+    # broadcast (4, 4)
+    da = (a1 - a0)[:, None, :]
+    db = (b1 - b0)[None, :, :]
+    d0 = b0[None, :, :] - a0[:, None, :]
+    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]
+    t = (d0[..., 0] * db[..., 1] - d0[..., 1] * db[..., 0]) / \
+        jnp.where(jnp.abs(denom) < EPS, 1.0, denom)
+    u = (d0[..., 0] * da[..., 1] - d0[..., 1] * da[..., 0]) / \
+        jnp.where(jnp.abs(denom) < EPS, 1.0, denom)
+    ok = (jnp.abs(denom) >= EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    pts = a0[:, None, :] + t[..., None] * da
+    return pts.reshape(16, 2), ok.reshape(16)
+
+
+def _rect_intersection_area(box_a, box_b):
+    """Overlap area of two rotated BEV rects (the CUDA kernel's algorithm)."""
+    ca = boxes_to_corners_bev(box_a[None])[0]
+    cb = boxes_to_corners_bev(box_b[None])[0]
+    in_b = _point_in_rect(ca, box_b)           # (4,)
+    in_a = _point_in_rect(cb, box_a)           # (4,)
+    xpts, xok = _seg_intersections(ca, cb)     # (16, 2), (16,)
+
+    cand = jnp.concatenate([ca, cb, xpts], axis=0)        # (24, 2)
+    valid = jnp.concatenate([in_b, in_a, xok], axis=0)    # (24,)
+    cnt = valid.sum()
+
+    wsum = jnp.where(valid[:, None], cand, 0.0).sum(0)
+    center = wsum / jnp.maximum(cnt, 1).astype(cand.dtype)
+    rel = cand - center
+    ang = jnp.arctan2(rel[:, 1], rel[:, 0])
+    ang = jnp.where(valid, ang, 1e9)
+    order = jnp.argsort(ang)
+    v = cand[order]                                        # sorted ring
+    n = cnt.astype(jnp.int32)
+    idx = jnp.arange(24, dtype=jnp.int32)
+    nxt = jnp.where(idx + 1 < n, idx + 1, 0)
+    cross = v[:, 0] * v[nxt, 1] - v[nxt, 0] * v[:, 1]
+    area = 0.5 * jnp.abs(jnp.where(idx < n, cross, 0.0).sum())
+    return jnp.where(cnt >= 3, area, 0.0)
+
+
+def boxes_overlap_bev(boxes_a, boxes_b):
+    """Pairwise rotated BEV overlap areas, (N, M)."""
+    fn = jax.vmap(jax.vmap(_rect_intersection_area, (None, 0)), (0, None))
+    return fn(boxes_a, boxes_b)
+
+
+def boxes_iou_bev(boxes_a, boxes_b):
+    """Pairwise rotated BEV IoU (N, M)."""
+    inter = boxes_overlap_bev(boxes_a, boxes_b)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return inter / jnp.clip(area_a + area_b - inter, EPS)
+
+
+def boxes_iou3d(boxes_a, boxes_b):
+    """Pairwise 3D IoU (N, M): BEV overlap x z-overlap / union.
+
+    Matches ``boxes_iou3d_gpu`` (``/root/reference/pcdet/ops/iou3d_nms/
+    iou3d_nms_utils.py:103``).
+    """
+    inter_bev = boxes_overlap_bev(boxes_a, boxes_b)
+    za1 = boxes_a[:, 2] - boxes_a[:, 5] / 2
+    za2 = boxes_a[:, 2] + boxes_a[:, 5] / 2
+    zb1 = boxes_b[:, 2] - boxes_b[:, 5] / 2
+    zb2 = boxes_b[:, 2] + boxes_b[:, 5] / 2
+    zi = jnp.clip(jnp.minimum(za2[:, None], zb2[None]) -
+                  jnp.maximum(za1[:, None], zb1[None]), 0.0)
+    inter = inter_bev * zi
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None]
+    return inter / jnp.clip(vol_a + vol_b - inter, EPS)
+
+
+def nms_bev(boxes, scores, thresh: float, pre_max: int, post_max: int,
+            valid=None, num_iters: int = 8):
+    """Greedy rotated NMS via fixed-point suppression propagation.
+
+    The exact greedy rule keep[i] = not exists j<i (by score) with keep[j]
+    and IoU(i,j) > thresh is a sequential recurrence; on TPU we iterate the
+    monotone fixed point ``keep <- f(keep)`` starting from all-kept. Each
+    iteration resolves one level of suppression chains; detection workloads
+    converge in a handful of rounds (validated against exact NMS in tests).
+
+    Returns (selected_indices (post_max,) into the input order, valid_mask).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    neg = jnp.asarray(-jnp.inf, dtype=scores.dtype)
+    masked_scores = jnp.where(valid, scores, neg)
+    k = min(pre_max, n)
+    top_scores, order = jax.lax.top_k(masked_scores, k)
+    top_valid = jnp.isfinite(top_scores)
+    b = boxes[order]
+    iou = boxes_iou_bev(b, b)
+    over = (iou > thresh) & top_valid[:, None] & top_valid[None, :]
+    # strictly-lower-triangular: j suppresses i only if score_j > score_i
+    tri = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1)
+    sup = over & tri
+
+    def body(_, keep):
+        return ~jnp.any(sup & keep[None, :], axis=1) & top_valid
+
+    keep = jax.lax.fori_loop(0, num_iters, body,
+                             jnp.ones((k,), dtype=bool))
+    # compact kept indices to the front, preserving score order
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    sel = jnp.full((post_max,), -1, dtype=jnp.int32)
+    src = jnp.where(keep & (rank < post_max), rank, post_max)
+    sel = jnp.zeros((post_max + 1,), jnp.int32).at[src].set(
+        order.astype(jnp.int32))[:post_max]
+    count = jnp.minimum(keep.sum(), post_max)
+    sel_valid = jnp.arange(post_max) < count
+    return jnp.where(sel_valid, sel, 0), sel_valid
+
+
+class ResidualCoder:
+    """Anchor-residual box coder (reference ``box_coder_utils.py:5-79``)."""
+
+    def __init__(self, code_size=7, encode_angle_by_sincos=False, **kwargs):
+        self.code_size = code_size + (1 if encode_angle_by_sincos else 0)
+        self.encode_angle_by_sincos = encode_angle_by_sincos
+
+    def encode(self, boxes, anchors):
+        anchors = anchors.at[..., 3:6].set(jnp.clip(anchors[..., 3:6], 1e-5))
+        boxes = boxes.at[..., 3:6].set(jnp.clip(boxes[..., 3:6], 1e-5))
+        xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, -1)
+        xg, yg, zg, dxg, dyg, dzg, rg = jnp.split(boxes[..., :7], 7, -1)
+        diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xt = (xg - xa) / diag
+        yt = (yg - ya) / diag
+        zt = (zg - za) / dza
+        dxt = jnp.log(dxg / dxa)
+        dyt = jnp.log(dyg / dya)
+        dzt = jnp.log(dzg / dza)
+        if self.encode_angle_by_sincos:
+            rts = [jnp.cos(rg) - jnp.cos(ra), jnp.sin(rg) - jnp.sin(ra)]
+        else:
+            rts = [rg - ra]
+        cts = [boxes[..., 7 + i:8 + i] - anchors[..., 7 + i:8 + i]
+               for i in range(boxes.shape[-1] - 7)]
+        return jnp.concatenate([xt, yt, zt, dxt, dyt, dzt, *rts, *cts], -1)
+
+    def decode(self, encodings, anchors):
+        xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, -1)
+        if self.encode_angle_by_sincos:
+            xt, yt, zt, dxt, dyt, dzt, cost, sint = jnp.split(
+                encodings[..., :8], 8, -1)
+        else:
+            xt, yt, zt, dxt, dyt, dzt, rt = jnp.split(encodings[..., :7], 7, -1)
+        diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xg = xt * diag + xa
+        yg = yt * diag + ya
+        zg = zt * dza + za
+        dxg = jnp.exp(dxt) * dxa
+        dyg = jnp.exp(dyt) * dya
+        dzg = jnp.exp(dzt) * dza
+        if self.encode_angle_by_sincos:
+            rg = jnp.arctan2(sint + jnp.sin(ra), cost + jnp.cos(ra))
+        else:
+            rg = rt + ra
+        rest = encodings.shape[-1] - self.code_size
+        cgs = [encodings[..., self.code_size + i:self.code_size + i + 1]
+               + anchors[..., 7 + i:8 + i] for i in range(rest)]
+        return jnp.concatenate([xg, yg, zg, dxg, dyg, dzg, rg, *cgs], -1)
+
+
+def points_in_boxes(points, boxes):
+    """(P,) int32 index of the first (N,7) box containing each point, -1 if
+    none. Dense rotate + AABB test (TPU replacement for the roiaware_pool3d
+    CUDA op, ``/root/reference/pcdet/ops/roiaware_pool3d/``)."""
+    d = points[:, None, 0:3] - boxes[None, :, 0:3]          # (P, N, 3)
+    cosa = jnp.cos(boxes[:, 6])[None]
+    sina = jnp.sin(boxes[:, 6])[None]
+    lx = d[..., 0] * cosa + d[..., 1] * sina
+    ly = -d[..., 0] * sina + d[..., 1] * cosa
+    inside = ((jnp.abs(lx) <= boxes[None, :, 3] / 2)
+              & (jnp.abs(ly) <= boxes[None, :, 4] / 2)
+              & (jnp.abs(d[..., 2]) <= boxes[None, :, 5] / 2))
+    idx = jnp.argmax(inside, axis=1).astype(jnp.int32)
+    return jnp.where(inside.any(axis=1), idx, -1)
+
+
+def corner_loss(pred_boxes, gt_boxes):
+    """Corner-distance loss with flipped-heading minimum (reference
+    ``loss_utils.get_corner_loss_lidar:209``): per-box huber over the min of
+    corner distances to gt and heading-flipped gt."""
+    pred_c = boxes_to_corners_3d(pred_boxes)
+    gt_c = boxes_to_corners_3d(gt_boxes)
+    gt_flip = gt_boxes.at[:, 6].add(jnp.pi)
+    gt_cf = boxes_to_corners_3d(gt_flip)
+    d1 = jnp.linalg.norm(pred_c - gt_c, axis=-1)
+    d2 = jnp.linalg.norm(pred_c - gt_cf, axis=-1)
+    d = jnp.minimum(d1, d2)
+    # huber, delta = 1
+    abs_d = jnp.abs(d)
+    loss = jnp.where(abs_d < 1.0, 0.5 * d ** 2, abs_d - 0.5)
+    return loss.mean(axis=1)
+
+
+def _axis_overlap_ratio(c1, w1, c2, w2):
+    """1D overlap / total span of two centered intervals."""
+    hi = jnp.minimum(c1 + w1 / 2, c2 + w2 / 2)
+    lo = jnp.maximum(c1 - w1 / 2, c2 - w2 / 2)
+    span_hi = jnp.maximum(c1 + w1 / 2, c2 + w2 / 2)
+    span_lo = jnp.minimum(c1 - w1 / 2, c2 - w2 / 2)
+    return jnp.clip(hi - lo, 0.0) / jnp.clip(span_hi - span_lo, EPS)
+
+
+def bb_loss(pred_boxes, gt_boxes):
+    """Differentiable box loss of the rcnn reg branch (reference
+    ``pcdet/utils/bbloss.py:30-48``): product of per-axis 1D overlap ratios
+    times an angle weight 1-|sin(dr)|, plus 1.25*(1-|cos(dr)|) and squared
+    center distance, all scaled by 1.5. Returns per-box loss (N,)."""
+    iou = (_axis_overlap_ratio(pred_boxes[:, 0], pred_boxes[:, 3],
+                               gt_boxes[:, 0], gt_boxes[:, 3])
+           * _axis_overlap_ratio(pred_boxes[:, 1], pred_boxes[:, 4],
+                                 gt_boxes[:, 1], gt_boxes[:, 4])
+           * _axis_overlap_ratio(pred_boxes[:, 2], pred_boxes[:, 5],
+                                 gt_boxes[:, 2], gt_boxes[:, 5]))
+    dr = pred_boxes[:, 6] - gt_boxes[:, 6]
+    iou = iou * (1.0 - jnp.abs(jnp.sin(dr)))
+    angle_factor = 1.25 * (1.0 - jnp.abs(jnp.cos(dr)))
+    center_sq = jnp.sum((gt_boxes[:, 0:3] - pred_boxes[:, 0:3]) ** 2, axis=-1)
+    return (1.0 - iou + angle_factor + center_sq) * 1.5
