@@ -9,7 +9,8 @@ os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 # precision matmuls (the framework itself keeps the fast TPU default).
 import jax  # noqa: E402
 
-jax.config.update('jax_default_matmul_precision', 'highest')
+# precision is pinned per-module in oracle-comparison tests
+
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (

@@ -1,5 +1,7 @@
 """Box geometry tests: rotated IoU vs rasterization oracle, NMS fixed point
 vs exact greedy, box coder round-trip, points-in-boxes."""
+import jax
+jax.config.update('jax_default_matmul_precision', 'highest')
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -1,4 +1,6 @@
 """Sparse substrate unit tests: conv ops vs dense oracles, voxelize vs numpy."""
+import jax
+jax.config.update('jax_default_matmul_precision', 'highest')
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,11 @@ class CfgNode(dict):
 
     @classmethod
     def _convert(cls, v):
-        if isinstance(v, dict):
-            return cls(v)
+        from collections.abc import Mapping
+        if isinstance(v, CfgNode):
+            return v
+        if isinstance(v, Mapping):
+            return cls(dict(v))
         if isinstance(v, (list, tuple)):
             return [cls._convert(x) for x in v]
         return v

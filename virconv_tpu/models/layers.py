@@ -1,0 +1,123 @@
+"""Shared flax modules: masked sparse-row BatchNorm and sparse conv blocks.
+
+The reference normalizes sparse voxel features with ``nn.BatchNorm1d(eps=1e-3,
+momentum=0.01)`` over the (dynamic) row dimension (``/root/reference/pcdet/
+models/backbones_3d/spconv_backbone.py:160``). On TPU the row dimension is a
+fixed capacity with padding, so batch statistics must be computed over valid
+rows only (masked moments); running stats follow torch semantics (momentum is
+the update fraction, running_var uses the unbiased estimate).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import sparse as sp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid rows of (N, C) features."""
+
+    features: int
+    eps: float = 1e-3
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones(self.features, jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+
+        if train:
+            w = mask.astype(jnp.float32)[:, None]
+            cnt = jnp.maximum(w.sum(), 1.0)
+            mean = (x * w).sum(0) / cnt
+            var = (jnp.square(x - mean) * w).sum(0) / cnt
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) / jnp.sqrt(var + self.eps)
+        y = y * scale + bias
+        return jnp.where(mask[:, None], y, 0.0)
+
+
+class SubMConvBlock(nn.Module):
+    """Submanifold sparse conv + masked BN + ReLU (reference post_act_block,
+    ``spconv_backbone.py:86-107``). The neighbor map is supplied by the
+    caller so layers sharing an indice_key reuse one map."""
+
+    out_channels: int
+    use_bn: bool = True
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, st: sp.SparseTensor, nmap, train: bool):
+        k = nmap.shape[1]
+        c_in = st.num_channels
+        w = self.param('kernel',
+                       nn.initializers.variance_scaling(
+                           1.0, 'fan_in', 'normal'),
+                       (k, c_in, self.out_channels))
+        feats = sp.gathered_conv(st.feats, nmap, w, st.mask)
+        if self.use_bn:
+            feats = MaskedBatchNorm(self.out_channels)(feats, st.mask, train)
+        if self.use_relu:
+            feats = nn.relu(feats)
+        return st.replace(feats=feats)
+
+
+class SparseDownBlock(nn.Module):
+    """Strided sparse conv + masked BN + ReLU (reference 'spconv' blocks)."""
+
+    out_channels: int
+    kernel_size: Tuple[int, ...] = (3, 3, 3)
+    stride: Tuple[int, ...] = (2, 2, 2)
+    padding: Tuple[int, ...] = (1, 1, 1)
+    out_capacity: int | None = None
+
+    @nn.compact
+    def __call__(self, st: sp.SparseTensor, train: bool):
+        cap = self.out_capacity or st.capacity
+        st_out = sp.downsample_coords(st, self.stride, self.padding,
+                                      self.kernel_size, cap)
+        nmap = sp.build_strided_neighbor_map(st, st_out, self.stride,
+                                             self.padding, self.kernel_size)
+        k = nmap.shape[1]
+        w = self.param('kernel',
+                       nn.initializers.variance_scaling(
+                           1.0, 'fan_in', 'normal'),
+                       (k, st.num_channels, self.out_channels))
+        feats = sp.gathered_conv(st.feats, nmap, w, st_out.mask)
+        feats = MaskedBatchNorm(self.out_channels)(feats, st_out.mask, train)
+        feats = nn.relu(feats)
+        return st_out.replace(feats=feats)
+
+
+class DenseConvBlock(nn.Module):
+    """3x3 dense conv + BN + ReLU on NHWC maps (BEV backbone building block,
+    torch BN semantics eps=1e-3 momentum=0.01)."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    stride: Tuple[int, int] = (1, 1)
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(self.features, self.kernel, strides=self.stride,
+                    padding='SAME', use_bias=self.use_bias)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3)(x)
+        return nn.relu(x)

@@ -1,0 +1,451 @@
+"""TED multimodal cascade ROI head (TEDMHead).
+
+Parity target ``/root/reference/pcdet/models/roi_heads/ted_head.py``:
+per transform-replica/cascade stage the rois are re-expressed in the
+replica's frame, pooled from the LiDAR and multimodal voxel streams with
+voxel-query grid pooling, run through shared FCs, cross-attended against the
+history of earlier stages, and classified/regressed by three branches
+(fused, MM-only ``_PI``, LiDAR-only ``_P``); refined boxes become the next
+stage's rois and the final prediction is the mean over stages. A BEV "PART"
+confidence sampled at 7x7 in-box grid points is added to all cls logits.
+
+TPU redesign notes: the reference instantiates per-stage ModuleLists but
+breaks after one element (``ted_head.py:214-400``) so a single module serves
+all stages — mirrored here by plain module reuse inside the static stage
+loop. Transform replicas live on the batch axis of the backbone tensors
+(entry = b * rot_num + i); stage i pools replica i by offsetting the query
+batch index, no feature slicing needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...config import CfgNode
+from ...ops import boxes as box_ops
+from ...ops import sparse as sp
+from ...utils import transforms as tr
+from ..layers import DenseConvBlock, MaskedBatchNorm
+from .target_assign import proposal_targets
+from .voxel_pool import NeighborVoxelSAModule
+
+
+class PositionalEmbedding(nn.Module):
+    demb: int = 8
+
+    def __call__(self, pos_seq):
+        inv_freq = 1.0 / (10000 ** (jnp.arange(0, self.demb, 2.0)
+                                    / self.demb))
+        sinusoid = pos_seq[:, None] * inv_freq[None, :]
+        return jnp.concatenate([jnp.sin(sinusoid), jnp.cos(sinusoid)], -1)
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention of the current stage feature against stage history
+    (ted_head.py:34-80): linear Q/K/V over features + positional embedding,
+    then 4-head attention."""
+
+    hidden_dim: int
+    num_heads: int = 4
+    pos_dim: int = 8
+
+    @nn.compact
+    def __call__(self, inputs, q_in):
+        """inputs (S, B, C) stage history; q_in (1, B, C). Returns (1, B, C)."""
+        s, b, c = inputs.shape
+        pe = PositionalEmbedding(self.pos_dim)
+        pos_k = pe(jnp.arange(1, s + 1, dtype=jnp.float32))    # (S, pos)
+        pos_q = pe(jnp.asarray([float(s)]))                    # (1, pos)
+        k_in = jnp.concatenate(
+            [inputs, jnp.broadcast_to(pos_k[:, None], (s, b, self.pos_dim))],
+            -1)
+        q_full = jnp.concatenate(
+            [q_in, jnp.broadcast_to(pos_q[:, None], (1, b, self.pos_dim))],
+            -1)
+        q = nn.Dense(self.hidden_dim, use_bias=False, name='q')(q_full)
+        k = nn.Dense(self.hidden_dim, use_bias=False, name='k')(k_in)
+        v = nn.Dense(self.hidden_dim, use_bias=False, name='v')(k_in)
+        # torch nn.MultiheadAttention: joint in-proj + out-proj
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.hidden_dim,
+            out_features=self.hidden_dim, name='mha')
+        # layout (batch, seq, feat) for flax
+        out = attn(q.transpose(1, 0, 2), k.transpose(1, 0, 2),
+                   v.transpose(1, 0, 2))
+        return out.transpose(1, 0, 2)
+
+
+class FCStack(nn.Module):
+    """Linear(+BN+ReLU) stack with dropout after non-final layers and an
+    optional final projection (the reference shared/cls/reg FC builders)."""
+
+    widths: Tuple[int, ...]
+    out_features: Optional[int] = None
+    dp_ratio: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        for i, wdt in enumerate(self.widths):
+            x = nn.Dense(wdt, use_bias=False, name=f'fc{i}')(x)
+            x = MaskedBatchNorm(wdt, name=f'bn{i}')(x, mask, train)
+            x = nn.relu(x)
+            if i != len(self.widths) - 1 and self.dp_ratio > 0 and train:
+                x = nn.Dropout(self.dp_ratio, deterministic=not train)(x)
+        if self.out_features is not None:
+            x = nn.Dense(self.out_features, name='out',
+                         kernel_init=nn.initializers.normal(0.01))(x)
+        return x
+
+
+def dense_grid_points(rois, grid_size: int):
+    """(N, G^3, 3) local grid points of rois (N, 7) then world frame."""
+    g = grid_size
+    idx = np.stack(np.meshgrid(np.arange(g), np.arange(g), np.arange(g),
+                               indexing='ij'), -1).reshape(-1, 3)
+    idx = jnp.asarray(idx, jnp.float32)
+    local = (idx[None] + 0.5) / g * rois[:, None, 3:6] - rois[:, None, 3:6] / 2
+    world = box_ops.rotate_points_along_z(local, rois[:, 6])
+    return world + rois[:, None, 0:3]
+
+
+def bilinear_sample_per_channel(image, xs, ys):
+    """image (H, W, C); xs, ys (C, N) pixel coords (align_corners=False).
+    Channel c sampled at (xs[c], ys[c]). Zero padding outside."""
+    h, w, c = image.shape
+    x = xs - 0.5
+    y = ys - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    cc = jnp.arange(c)[:, None]
+
+    def tap(xi, yi, wgt):
+        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        val = image[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1), cc]
+        return val * wgt * ok
+    wx1 = x - x0
+    wy1 = y - y0
+    out = (tap(x0, y0, (1 - wx1) * (1 - wy1)) + tap(x0 + 1, y0, wx1 * (1 - wy1))
+           + tap(x0, y0 + 1, (1 - wx1) * wy1) + tap(x0 + 1, y0 + 1, wx1 * wy1))
+    return out
+
+
+def gen_sample_grid(rois, grid_size=7, grid_offsets=(0.0, 40.0),
+                    spatial_scale=2.5):
+    """7x7 BEV sample locations per roi in featuremap pixel coords
+    (ted_head.py:110-135). Returns xs, ys of shape (grid^2, N)."""
+    n = rois.shape[0]
+    idx = np.stack(np.meshgrid(np.arange(grid_size), np.arange(grid_size),
+                               indexing='ij'), -1).reshape(-1, 2)
+    idx = jnp.asarray(idx, jnp.float32)                       # (49, 2)
+    size = rois[:, 3:5]
+    local = idx[None] / (grid_size - 1) * size[:, None] - size[:, None] / 2
+    local3 = jnp.concatenate([local, jnp.ones((n, grid_size ** 2, 1))], -1)
+    world = box_ops.rotate_points_along_z(local3, rois[:, 6]) \
+        + jnp.concatenate([rois[:, 0:2], jnp.zeros((n, 1))], -1)[:, None]
+    x = (world[..., 0] + grid_offsets[0]) * spatial_scale
+    y = (world[..., 1] + grid_offsets[1]) * spatial_scale
+    return x.T, y.T                                           # (49, N)
+
+
+class TEDMHead(nn.Module):
+    """Cascade/ensemble refinement head."""
+
+    model_cfg: Any
+    num_class: int
+    rot_num: int
+    voxel_size: Tuple[float, float, float]
+    point_cloud_range: Tuple[float, ...]
+    input_channels: Dict[str, int]
+    code_size: int = 7
+
+    def _pool_module(self, pool_cfg, name):
+        src_modules = {}
+        for src in pool_cfg.FEATURES_SOURCE:
+            lc = pool_cfg.POOL_LAYERS[src]
+            src_modules[src] = NeighborVoxelSAModule(
+                query_ranges=tuple(tuple(q) for q in lc.QUERY_RANGES),
+                radii=tuple(lc.POOL_RADIUS),
+                nsamples=tuple(lc.NSAMPLE),
+                mlps=tuple((m[0], m[1]) for m in lc.MLPS),
+                voxel_size=tuple(self.voxel_size),
+                point_cloud_range=tuple(self.point_cloud_range),
+                name=f'{name}_{src}')
+        return src_modules
+
+    def setup(self):
+        from ...config import CfgNode
+        cfg = CfgNode(self.model_cfg)
+        self.pool_lidar = self._pool_module(cfg.ROI_GRID_POOL, 'pool')
+        self.pool_mm = self._pool_module(cfg.ROI_GRID_POOL_MM, 'pool_mm')
+        shared = tuple(cfg.SHARED_FC)
+        dp = cfg.DP_RATIO
+        self.shared_fc = FCStack(shared, dp_ratio=dp, name='shared_fc')
+        self.shared_fc_mm = FCStack(shared, dp_ratio=dp, name='shared_fc_mm')
+        hid = shared[-1]
+        self.cross_attn = CrossAttention(hid, name='cross_attn')
+        self.cross_attn_mm = CrossAttention(hid, name='cross_attn_mm')
+        cs = self.code_size * self.num_class
+        self.cls_head = FCStack(tuple(cfg.CLS_FC), self.num_class, dp,
+                                name='cls_head')
+        self.reg_head = FCStack(tuple(cfg.REG_FC), cs, dp, name='reg_head')
+        self.cls_head_pi = FCStack(tuple(cfg.CLS_FC), self.num_class, dp,
+                                   name='cls_head_pi')
+        self.reg_head_pi = FCStack(tuple(cfg.REG_FC), cs, dp,
+                                   name='reg_head_pi')
+        self.cls_head_p = FCStack(tuple(cfg.CLS_FC), self.num_class, dp,
+                                  name='cls_head_p')
+        self.reg_head_p = FCStack(tuple(cfg.REG_FC), cs, dp,
+                                  name='reg_head_p')
+        self.use_part = cfg.get('PART', None) is not None
+        if self.use_part:
+            self.part_conv1 = DenseConvBlock(cfg.PART.IN_CHANNEL,
+                                             name='part_conv1')
+            self.part_conv2 = nn.Conv(cfg.PART.SIZE ** 2, (1, 1),
+                                      use_bias=False, name='part_conv2')
+        self.coder = box_ops.ResidualCoder()
+
+    def _roi_grid_pool(self, pool_modules, pool_cfg, feats_3d, strides, rois,
+                       roi_valid, entry_idx, train):
+        """Pool roi grid features from one stream. rois (B, N, 7)."""
+        b, n = rois.shape[0], rois.shape[1]
+        g = pool_cfg.GRID_SIZE
+        flat_rois = rois.reshape(-1, rois.shape[-1])
+        grid_xyz = dense_grid_points(flat_rois, g)            # (B*N, g^3, 3)
+        grid_xyz = grid_xyz.reshape(b, n * g ** 3, 3)
+        qmask = jnp.repeat(roi_valid.reshape(b, n), g ** 3, axis=1)
+        pcr = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        base_coords = jnp.floor((grid_xyz - pcr) / vs).astype(jnp.int32)
+
+        outs = []
+        for src in pool_cfg.FEATURES_SOURCE:
+            st = feats_3d[src]
+            stride = strides[src]
+            cz = base_coords[..., 2] // stride
+            cy = base_coords[..., 1] // stride
+            cx = base_coords[..., 0] // stride
+            be = entry_idx[:, None] * jnp.ones((1, n * g ** 3), jnp.int32)
+            qc = jnp.stack([be, cz, cy, cx], -1).reshape(-1, 4)
+            pooled = pool_modules[src](
+                st, stride, grid_xyz.reshape(-1, 3), qc,
+                qmask.reshape(-1), train)                     # (B*N*g^3, C)
+            outs.append(pooled)
+        pooled = jnp.concatenate(outs, -1)
+        return pooled.reshape(b * n, -1), qmask.reshape(b * n, g ** 3)[:, 0]
+
+    def _part_scores(self, parts_feat, rois_score):
+        """Mean bilinear PART confidence per roi (obtain_conf_preds)."""
+        cfg = CfgNode(self.model_cfg).PART
+        scale = 1.0 / cfg.FEATMAP_STRIDE
+
+        def per_sample(img, boxes):
+            xs, ys = gen_sample_grid(boxes, cfg.SIZE,
+                                     tuple(cfg.GRID_OFFSETS), scale)
+            vals = bilinear_sample_per_channel(img, xs, ys)   # (49, N)
+            return vals.mean(0)
+        return jax.vmap(per_sample)(parts_feat, rois_score)   # (B, N)
+
+    def decode_boxes(self, rois, reg):
+        """generate_predicted_boxes: decode canonical-frame residuals."""
+        b, n = rois.shape[0], rois.shape[1]
+        local = rois.at[..., 0:3].set(0.0)
+        dec = self.coder.decode(reg.reshape(b, n, -1), local)
+        flat = dec.reshape(-1, dec.shape[-1])
+        flat = box_ops.rotate_points_along_z(flat[:, None, :],
+                                             rois[..., 6].reshape(-1))[:, 0]
+        flat = flat.at[:, 0:3].add(rois[..., 0:3].reshape(-1, 3))
+        return flat.reshape(b, n, -1)
+
+    def __call__(self, feats_lidar, feats_mm, strides, proposals, bev_feats,
+                 transform_params, gt_boxes, gt_valid, train: bool,
+                 rngs_unused=None):
+        """
+        Args:
+            feats_lidar / feats_mm: dicts of SparseTensors (multi-scale, batch
+                entries = b * n_replicas + i).
+            proposals: dict from the anchor head (rois (B, R, 7), roi_scores,
+                roi_labels, roi_valid).
+            bev_feats: (B, H, W, C) st_features_2d for PART scoring.
+            transform_params: (B, n_replicas, 3) or None (training).
+            gt_boxes: (B, M, 8) + gt_valid (B, M) (training only).
+        Returns dict with final boxes/scores and per-stage loss inputs.
+        """
+        rois = proposals['rois'][..., :7]
+        roi_scores = proposals['roi_scores']
+        roi_labels = proposals['roi_labels']
+        roi_valid = proposals['roi_valid']
+        b = rois.shape[0]
+        n_replicas = (transform_params.shape[1]
+                      if transform_params is not None else 1)
+        entry_base = jnp.arange(b, dtype=jnp.int32) * n_replicas
+
+        parts_feat = None
+        if self.use_part:
+            x = self.part_conv1(bev_feats, train)
+            parts_feat = self.part_conv2(x)                   # (B, H, W, 49)
+
+        all_preds, all_scores = [], []
+        stage_targets = []
+        hist, hist_mm = [], []
+        rot_num = self.rot_num
+
+        for i in range(rot_num):
+            if i >= 1 and transform_params is not None:
+                # re-express stage-(i-1) boxes in replica-i frame
+                def xtrans(boxes_s, params_s):
+                    prev = params_s[min(i - 1, n_replicas - 1)]
+                    cur = params_s[min(i, n_replicas - 1)]
+                    back = tr.transform_boxes_jax(boxes_s, prev, inverse=True)
+                    return tr.transform_boxes_jax(back, cur)
+                rois = jax.vmap(xtrans)(rois, transform_params)
+
+            if train:
+                stage_cfg = CfgNode(self.model_cfg).TARGET_CONFIG.get(
+                    f'STAGE{i}', CfgNode(self.model_cfg).TARGET_CONFIG.get('STAGE0'))
+                rng = self.make_rng('sampling')
+                tgt = proposal_targets(rng, rois, roi_scores, roi_labels,
+                                       gt_boxes, gt_valid, stage_cfg)
+                rois = tgt['rois'][..., :7]
+                roi_labels = tgt['roi_labels']
+                roi_valid = jnp.ones(rois.shape[:2], bool)
+            else:
+                tgt = None
+
+            # PART scores use rois in the replica-0 frame
+            if i >= 1 and transform_params is not None:
+                def strans(boxes_s, params_s):
+                    cur = params_s[min(i, n_replicas - 1)]
+                    first = params_s[0]
+                    back = tr.transform_boxes_jax(boxes_s, cur, inverse=True)
+                    return tr.transform_boxes_jax(back, first)
+                rois_score = jax.vmap(strans)(rois, transform_params)
+            else:
+                rois_score = rois
+            part_scores = None
+            if self.use_part:
+                part_scores = self._part_scores(parts_feat, rois_score)
+                part_scores = part_scores.reshape(-1, 1)
+
+            entry = entry_base + min(i, n_replicas - 1)
+            pooled, pmask = self._roi_grid_pool(
+                self.pool_lidar, CfgNode(self.model_cfg).ROI_GRID_POOL, feats_lidar,
+                strides, rois, roi_valid, entry, train)
+            pooled_mm, _ = self._roi_grid_pool(
+                self.pool_mm, CfgNode(self.model_cfg).ROI_GRID_POOL_MM, feats_mm,
+                strides, rois, roi_valid, entry, train)
+
+            shared = self.shared_fc(pooled, pmask, train)[None]     # (1,BN,C)
+            hist.append(shared)
+            cur = self.cross_attn(jnp.concatenate(hist, 0), shared)
+            cur = jnp.concatenate([cur, shared], -1)[0]             # (BN,2C)
+
+            shared_mm = self.shared_fc_mm(pooled_mm, pmask, train)[None]
+            hist_mm.append(shared_mm)
+            cur_mm = self.cross_attn_mm(jnp.concatenate(hist_mm, 0),
+                                        shared_mm)
+            cur_mm = jnp.concatenate([cur_mm, shared_mm], -1)[0]
+
+            final = jnp.concatenate([cur_mm, cur], -1)
+            rcnn_cls = self.cls_head(final, pmask, train)
+            rcnn_reg = self.reg_head(final, pmask, train)
+            rcnn_cls_pi = self.cls_head_pi(cur_mm, pmask, train)
+            rcnn_reg_pi = self.reg_head_pi(cur_mm, pmask, train)
+            rcnn_cls_p = self.cls_head_p(cur, pmask, train)
+            rcnn_reg_p = self.reg_head_p(cur, pmask, train)
+
+            if part_scores is not None:
+                rcnn_cls = rcnn_cls + part_scores
+                rcnn_cls_pi = rcnn_cls_pi + part_scores
+                rcnn_cls_p = rcnn_cls_p + part_scores
+
+            boxes = self.decode_boxes(rois, rcnn_reg)
+            scores = rcnn_cls.reshape(b, -1, self.num_class)
+
+            outs = boxes
+            if transform_params is not None:
+                def ptrans(boxes_s, params_s):
+                    cur_p = params_s[min(i, n_replicas - 1)]
+                    return tr.transform_boxes_jax(boxes_s, cur_p,
+                                                  inverse=True)
+                outs = jax.vmap(ptrans)(boxes, transform_params)
+            all_preds.append(outs)
+            all_scores.append(scores)
+
+            if train:
+                stage_targets.append({
+                    'targets': tgt,
+                    'rois': rois,
+                    'rcnn_cls': rcnn_cls, 'rcnn_reg': rcnn_reg,
+                    'rcnn_cls_pi': rcnn_cls_pi, 'rcnn_reg_pi': rcnn_reg_pi,
+                    'rcnn_cls_p': rcnn_cls_p, 'rcnn_reg_p': rcnn_reg_p,
+                })
+
+            rois = boxes
+            roi_scores = scores.squeeze(-1)
+
+        out = {
+            'batch_box_preds': jnp.stack(all_preds).mean(0),
+            'batch_cls_preds': jnp.stack(all_scores).mean(0),
+            'roi_valid': roi_valid,
+        }
+        if train:
+            out['stage_targets'] = stage_targets
+        return out
+
+    # ------------------------------------------------------------- loss ----
+    def loss(self, stage_targets, loss_weights, code_weights):
+        total = 0.0
+        tb = {}
+        for s, st_t in enumerate(stage_targets):
+            tgt = st_t['targets']
+            for branch, w in (('', 1.0), ('_pi', 0.5), ('_p', 0.5)):
+                cls = st_t[f'rcnn_cls{branch}']
+                reg = st_t[f'rcnn_reg{branch}']
+                c = self._cls_loss(cls, tgt) * loss_weights['rcnn_cls_weight']
+                r = self._reg_loss(reg, st_t['rois'], tgt, loss_weights,
+                                   code_weights)
+                total = total + w * (c + r)
+            tb[f'rcnn_cls_s{s}'] = self._cls_loss(st_t['rcnn_cls'], tgt)
+        tb['rcnn_loss'] = total
+        return total, tb
+
+    def _cls_loss(self, rcnn_cls, tgt):
+        labels = tgt['rcnn_cls_labels'].reshape(-1)
+        logits = rcnn_cls.reshape(-1)
+        bce = jnp.clip(logits, 0) - logits * labels + \
+            jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        valid = (labels >= 0).astype(jnp.float32)
+        return (bce * valid).sum() / jnp.clip(valid.sum(), 1.0)
+
+    def _reg_loss(self, rcnn_reg, rois, tgt, loss_weights, code_weights):
+        from ..dense_heads.anchor_head import weighted_smooth_l1
+        code = self.code_size
+        gt_ct = tgt['gt_of_rois'][..., :code].reshape(-1, code)
+        fg = (tgt['reg_valid_mask'].reshape(-1) > 0).astype(jnp.float32)
+        fg_sum = jnp.clip(fg.sum(), 1.0)
+
+        rois_anchor = rois.reshape(-1, code)
+        rois_anchor = rois_anchor.at[:, 0:3].set(0).at[:, 6].set(0)
+        reg_targets = self.coder.encode(gt_ct, rois_anchor)
+        l1 = weighted_smooth_l1(rcnn_reg[None], reg_targets[None], fg[None],
+                                code_weights=code_weights)
+        loss = l1.sum() / fg_sum * loss_weights['rcnn_reg_weight']
+
+        # corner loss on decoded fg boxes vs gt_of_rois_src
+        dec = self.decode_boxes(rois.reshape(1, -1, code),
+                                rcnn_reg.reshape(1, -1, code))[0]
+        gt_src = tgt['gt_of_rois_src'][..., :code].reshape(-1, code)
+        corner = box_ops.corner_loss(dec, gt_src)
+        loss = loss + (corner * fg).sum() / fg_sum \
+            * loss_weights['rcnn_corner_weight']
+
+        # bb_loss in canonical frame
+        canon = self.coder.decode(rcnn_reg.reshape(-1, code), rois_anchor)
+        bb = box_ops.bb_loss(canon, gt_ct) * fg
+        loss = loss + bb.sum() / (fg.sum() + 1.0)
+        return loss

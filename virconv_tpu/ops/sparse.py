@@ -78,10 +78,16 @@ def coords_to_keys(coords: jnp.ndarray, spatial_shape: Sequence[int],
 
 def sort_by_key(st: SparseTensor) -> SparseTensor:
     """Sort rows ascending by voxel key; invalid rows move to the end."""
+    return sort_by_key_with_perm(st)[0]
+
+
+def sort_by_key_with_perm(st: SparseTensor):
+    """Sort rows by key; also return the permutation applied (new <- old)."""
     keys = st.keys()
     order = jnp.argsort(keys)
-    return st.replace(feats=st.feats[order], coords=st.coords[order],
-                      mask=st.mask[order])
+    st = st.replace(feats=st.feats[order], coords=st.coords[order],
+                    mask=st.mask[order])
+    return st, order
 
 
 def dedup_sorted(st: SparseTensor) -> SparseTensor:
