@@ -1,17 +1,21 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration: virtual 8-device CPU mesh + persistent compile cache.
 
-Must set flags before the first jax import anywhere in the test process.
+Must set platform flags before the first jax import in the test process.
+XLA CPU compiles are slow in this environment (~1s per primitive), so the
+persistent compilation cache is essential to keep reruns fast.
 """
 import os
 
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-# Unit tests compare against float64/float32 numpy oracles; force full-
-# precision matmuls (the framework itself keeps the fast TPU default).
-import jax  # noqa: E402
-
-# precision is pinned per-module in oracle-comparison tests
-
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(__file__), '..',
+                               '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

@@ -158,16 +158,19 @@ def test_train_forward_loss_finite(mm):
     model = VoxelRCNN(model_cfg=model_cfg, dataset_cfg=data_cfg)
     rng = np.random.default_rng(0)
     batch = make_batch(rng, n_entries=2, train=True)
-    variables = model.init(
+    import functools
+    init = jax.jit(functools.partial(model.init, train=True))
+    variables = init(
         {'params': jax.random.PRNGKey(0), 'stvd': jax.random.PRNGKey(1),
          'sampling': jax.random.PRNGKey(2), 'dropout': jax.random.PRNGKey(3)},
-        batch, train=True)
-    out, _ = model.apply(
-        variables, batch, train=True,
+        batch)
+    apply = jax.jit(functools.partial(model.apply, train=True,
+                                      mutable=['batch_stats']))
+    out, _ = apply(
+        variables, batch,
         rngs={'stvd': jax.random.PRNGKey(4),
               'sampling': jax.random.PRNGKey(5),
-              'dropout': jax.random.PRNGKey(6)},
-        mutable=['batch_stats'])
+              'dropout': jax.random.PRNGKey(6)})
     loss = float(out['loss'])
     assert np.isfinite(loss), loss
     assert out['batch_box_preds'].shape[-1] == 7
@@ -177,13 +180,16 @@ def test_eval_forward_with_replicas():
     model_cfg, data_cfg = tiny_cfg(mm=True)
     model = VoxelRCNN(model_cfg=model_cfg, dataset_cfg=data_cfg)
     rng = np.random.default_rng(1)
+    import functools
     train_batch = make_batch(rng, n_entries=1, train=True)
-    variables = model.init(
+    init = jax.jit(functools.partial(model.init, train=True))
+    variables = init(
         {'params': jax.random.PRNGKey(0), 'stvd': jax.random.PRNGKey(1),
          'sampling': jax.random.PRNGKey(2), 'dropout': jax.random.PRNGKey(3)},
-        train_batch, train=True)
+        train_batch)
     eval_batch = make_batch(rng, n_entries=2, train=False, n_rep=2)
-    out = model.apply(variables, eval_batch, train=False)
+    out = jax.jit(functools.partial(model.apply, train=False))(
+        variables, eval_batch)
     boxes = np.asarray(out['batch_box_preds'])
     scores = np.asarray(out['batch_cls_preds'])
     assert boxes.shape[0] == 1 and boxes.shape[-1] == 7
