@@ -1,0 +1,109 @@
+"""Training state + jitted train/eval steps + checkpointing (orbax).
+
+Parity target ``/root/reference/tools/train_utils/train_utils.py``: per-iter
+LR schedule, grad clip, checkpoint rotation; checkpoints store
+{epoch, it, model_state (params + batch_stats), optimizer_state} like the
+reference's ``checkpoint_state`` (``:128-155``). The torch-DDP loop becomes
+one jitted step with GSPMD data parallelism (see ``parallel.mesh``).
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..parallel.mesh import make_mesh, replicated, shard_batch
+from .optim import build_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_state(model, batch, rngs, opt_cfg, total_steps):
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        rngs, batch)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    tx, lr_fn = build_optimizer(params, opt_cfg, total_steps)
+    opt_state = tx.init(params)
+    state = TrainState(params=params, batch_stats=batch_stats,
+                       opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+    return state, tx, lr_fn
+
+
+def make_train_step(model, tx):
+    def train_step(state: TrainState, batch, rng):
+        rngs = {k: jax.random.fold_in(r, state.step)
+                for k, r in zip(('stvd', 'sampling', 'dropout'),
+                                jax.random.split(rng, 3))}
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, train=True, rngs=rngs, mutable=['batch_stats'])
+            return out['loss'], (out.get('tb', {}), mut)
+
+        (loss, (tb, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, batch_stats=mut.get('batch_stats',
+                                               state.batch_stats),
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, loss, tb
+    return train_step
+
+
+def make_eval_step(model):
+    def eval_step(params, batch_stats, batch):
+        return model.apply({'params': params, 'batch_stats': batch_stats},
+                           batch, train=False)
+    return eval_step
+
+
+# ------------------------------------------------------------ checkpoints ---
+def save_checkpoint(ckpt_dir, state: TrainState, epoch: int,
+                    max_keep: int = 30):
+    import orbax.checkpoint as ocp
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f'checkpoint_epoch_{epoch}'
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, {'params': jax.device_get(state.params),
+                      'batch_stats': jax.device_get(state.batch_stats),
+                      'opt_state': jax.device_get(state.opt_state),
+                      'step': int(state.step), 'epoch': epoch},
+               force=True)
+    # rotation (reference keeps max 30 checkpoints)
+    ckpts = sorted(ckpt_dir.glob('checkpoint_epoch_*'),
+                   key=lambda p: p.stat().st_mtime)
+    for old in ckpts[:-max_keep]:
+        import shutil
+        shutil.rmtree(old, ignore_errors=True)
+    return path
+
+
+def load_checkpoint(path):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(Path(path).resolve())
+
+
+def latest_checkpoint(ckpt_dir):
+    ckpts = sorted(Path(ckpt_dir).glob('checkpoint_epoch_*'),
+                   key=lambda p: p.stat().st_mtime)
+    return ckpts[-1] if ckpts else None
