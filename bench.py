@@ -1,0 +1,130 @@
+"""Headline benchmark: VirConv-T end-to-end inference frames/sec/chip.
+
+Runs the full-scale flagship detector (dual-stream NRConv backbone, ROT_NUM=3
+transform-ensemble, TED cascade head, KITTI geometry: 0.05m voxels over
+[0, -40, -3, 70.4, 40, 1], 40k voxels/stream/replica) on synthetic
+KITTI-scale inputs and reports frames/sec on the attached chip.
+
+Baseline note: the reference publishes no throughput (SURVEY.md §6); the
+VirConv paper reports ~92 ms/frame for VirConv-T on an RTX 3090-class GPU
+(~11 fps), which we use as the provisional vs_baseline denominator until the
+reference is measured on shared hardware.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 11.0
+
+
+def build_full_scale():
+    import functools
+    import jax
+    from virconv_tpu.config import CfgNode, cfg_from_yaml_file
+    from virconv_tpu.models.detectors.voxel_rcnn import VoxelRCNN
+    from virconv_tpu.utils.calibration import Calibration
+
+    cfg = cfg_from_yaml_file('tools/cfgs/models/kitti/VirConv-T.yaml',
+                             CfgNode({'ROOT_DIR': '.'}))
+    model = VoxelRCNN(model_cfg=cfg.MODEL, dataset_cfg=cfg.DATA_CONFIG,
+                      num_class=len(cfg.CLASS_NAMES))
+
+    rng = np.random.default_rng(0)
+    n_rep = cfg.DATA_CONFIG.ROT_NUM
+    n_pts = 65536
+    pcr = cfg.DATA_CONFIG.POINT_CLOUD_RANGE
+
+    def synth_points(n_entries):
+        pts = rng.uniform(
+            [pcr[0], pcr[1], pcr[2], 0, 0, 0, 0, 1],
+            [pcr[3], pcr[4], pcr[5], 1, 0.4, 0.4, 0.4, 2.01],
+            (n_entries, n_pts, 8)).astype(np.float32)
+        pts[..., 7] = np.round(pts[..., 7])
+        valid = np.ones((n_entries, n_pts), bool)
+        return pts, valid
+
+    # KITTI-typical calibration
+    p2 = np.array([[721.5, 0., 609.6, 44.9],
+                   [0., 721.5, 172.9, 0.2],
+                   [0., 0., 1., 0.003]], np.float32)
+    v2c = np.array([[7.5e-03, -1.0, -1.8e-04, -4.1e-03],
+                    [2.0e-03, 1.9e-04, -1.0, -7.6e-02],
+                    [1.0, 7.5e-03, 2.0e-03, -2.7e-01]], np.float32)
+    calib = Calibration({'P2': p2, 'R0': np.eye(3, np.float32).astype(
+        np.float32), 'Tr_velo2cam': v2c})
+    v2r, p2t = calib.device_matrices()
+
+    params = np.array([[0.3, 0.0, 0.98], [0.3, 1.0, 1.02], [0.0, 1.0, 1.0]],
+                      np.float32)[:n_rep]
+    pts, valid = synth_points(n_rep)
+    batch = {
+        'points': pts, 'points_valid': valid,
+        'points_mm': pts.copy(), 'points_mm_valid': valid.copy(),
+        'v2r': np.tile(v2r, (n_rep, 1, 1)),
+        'p2t': np.tile(p2t, (n_rep, 1, 1)),
+        'transform_param': params[None],
+        'trans_params': params,
+        'gt_boxes': None, 'gt_valid': None,
+    }
+
+    import jax
+    train_batch = dict(batch)
+    train_batch['transform_param'] = None
+    train_batch['trans_params'] = params[:1]
+    train_batch['points'] = pts[:1]
+    train_batch['points_valid'] = valid[:1]
+    train_batch['points_mm'] = pts[:1].copy()
+    train_batch['points_mm_valid'] = valid[:1].copy()
+    train_batch['v2r'] = batch['v2r'][:1]
+    train_batch['p2t'] = batch['p2t'][:1]
+    gt = np.zeros((1, 64, 8), np.float32)
+    gt[0, 0] = [20, 0, -1, 3.9, 1.6, 1.56, 0.3, 1]
+    train_batch['gt_boxes'] = gt
+    train_batch['gt_valid'] = gt[..., 0] > 0
+
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {'params': jax.random.PRNGKey(0), 'stvd': jax.random.PRNGKey(1),
+         'sampling': jax.random.PRNGKey(2),
+         'dropout': jax.random.PRNGKey(3)}, train_batch)
+    eval_vars = {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})}
+    forward = jax.jit(functools.partial(model.apply, train=False))
+    return forward, eval_vars, batch
+
+
+def main():
+    import os
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '.jax_cache')
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+    forward, eval_vars, batch = build_full_scale()
+    import jax.numpy as jnp
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if x is not None else None, batch,
+        is_leaf=lambda x: x is None)
+
+    # warmup / compile
+    out = forward(eval_vars, batch)
+    jax.block_until_ready(out['batch_box_preds'])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(eval_vars, batch)
+    jax.block_until_ready(out['batch_box_preds'])
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+    print(json.dumps({
+        'metric': 'virconv_t_inference_fps_per_chip',
+        'value': round(fps, 3),
+        'unit': 'frames/sec',
+        'vs_baseline': round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

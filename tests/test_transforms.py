@@ -1,4 +1,6 @@
 """X-transform round-trip and calibration tests."""
+import jax
+jax.config.update('jax_default_matmul_precision', 'highest')
 import numpy as np
 import jax.numpy as jnp
 

@@ -195,19 +195,19 @@ class DatasetTemplate:
         is_mm = any('points_mm' in s for s in batch_list)
         ret = {}
 
-        def stack_entries(key):
+        def stack_entries(base, suffix=''):
             arrs = []
             for s in batch_list:
                 for i in range(rot_num):
                     sid = '' if i == 0 else str(i)
-                    arrs.append(s[key + sid])
+                    arrs.append(s[base + sid + suffix])
             return np.stack(arrs)
 
         ret['points'] = stack_entries('points').astype(np.float32)
-        ret['points_valid'] = stack_entries('points_valid')
+        ret['points_valid'] = stack_entries('points', '_valid')
         if is_mm:
             ret['points_mm'] = stack_entries('points_mm').astype(np.float32)
-            ret['points_mm_valid'] = stack_entries('points_mm_valid')
+            ret['points_mm_valid'] = stack_entries('points_mm', '_valid')
 
         # calibration matrices per entry
         v2r, p2t = [], []

@@ -139,10 +139,17 @@ class VoxelRCNN(nn.Module):
         feats_lidar = bb_out['multi_scale_3d_features']
         strides = bb_out['multi_scale_3d_strides']
 
-        # BEV path uses replica 0 only (reference: suffix-less keys)
-        bev = height_compression(bb_out['encoded_spconv_tensor'])
+        # BEV path uses replica 0 only (reference: suffix-less keys).
+        # Select replica-0 rows in sparse form before densifying.
+        enc = bb_out['encoded_spconv_tensor']
         if n_rep > 1:
-            bev = bev[::n_rep]
+            keep = enc.mask & (enc.coords[:, 0] % n_rep == 0)
+            new_coords = enc.coords.at[:, 0].set(enc.coords[:, 0] // n_rep)
+            enc = enc.replace(
+                coords=jnp.where(keep[:, None], new_coords, -1),
+                feats=jnp.where(keep[:, None], enc.feats, 0.0),
+                mask=keep, batch_size=b)
+        bev = height_compression(enc)
         bev_feats = self.bev_backbone(bev, train)
 
         # anchor mask source: replica-0 points of the whole batch

@@ -118,15 +118,27 @@ def _rect_intersection_area(box_a, box_b):
     return jnp.where(cnt >= 3, area, 0.0)
 
 
-def boxes_overlap_bev(boxes_a, boxes_b):
-    """Pairwise rotated BEV overlap areas, (N, M)."""
+def boxes_overlap_bev(boxes_a, boxes_b, row_chunk: int | None = None):
+    """Pairwise rotated BEV overlap areas, (N, M).
+
+    The per-pair algorithm materializes ~50 floats of candidate-vertex
+    buffers; for large N*M pass ``row_chunk`` to bound transient memory
+    (rows are processed in lax.map chunks).
+    """
     fn = jax.vmap(jax.vmap(_rect_intersection_area, (None, 0)), (0, None))
-    return fn(boxes_a, boxes_b)
+    n = boxes_a.shape[0]
+    if row_chunk is None or n <= row_chunk:
+        return fn(boxes_a, boxes_b)
+    pad = (-n) % row_chunk
+    a = jnp.pad(boxes_a, ((0, pad), (0, 0)))
+    a = a.reshape(-1, row_chunk, boxes_a.shape[-1])
+    out = jax.lax.map(lambda rows: fn(rows, boxes_b), a)
+    return out.reshape(-1, boxes_b.shape[0])[:n]
 
 
-def boxes_iou_bev(boxes_a, boxes_b):
+def boxes_iou_bev(boxes_a, boxes_b, row_chunk: int | None = None):
     """Pairwise rotated BEV IoU (N, M)."""
-    inter = boxes_overlap_bev(boxes_a, boxes_b)
+    inter = boxes_overlap_bev(boxes_a, boxes_b, row_chunk=row_chunk)
     area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
     area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
     return inter / jnp.clip(area_a + area_b - inter, EPS)
@@ -172,7 +184,7 @@ def nms_bev(boxes, scores, thresh: float, pre_max: int, post_max: int,
     top_scores, order = jax.lax.top_k(masked_scores, k)
     top_valid = jnp.isfinite(top_scores)
     b = boxes[order]
-    iou = boxes_iou_bev(b, b)
+    iou = boxes_iou_bev(b, b, row_chunk=256 if k > 512 else None)
     over = (iou > thresh) & top_valid[:, None] & top_valid[None, :]
     # strictly-lower-triangular: j suppresses i only if score_j > score_i
     tri = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1)
