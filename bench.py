@@ -52,8 +52,8 @@ def build_full_scale():
     v2c = np.array([[7.5e-03, -1.0, -1.8e-04, -4.1e-03],
                     [2.0e-03, 1.9e-04, -1.0, -7.6e-02],
                     [1.0, 7.5e-03, 2.0e-03, -2.7e-01]], np.float32)
-    calib = Calibration({'P2': p2, 'R0': np.eye(3, np.float32).astype(
-        np.float32), 'Tr_velo2cam': v2c})
+    calib = Calibration({'P2': p2, 'R0': np.eye(3, dtype=np.float32),
+                         'Tr_velo2cam': v2c})
     v2r, p2t = calib.device_matrices()
 
     params = np.array([[0.3, 0.0, 0.98], [0.3, 1.0, 1.02], [0.0, 1.0, 1.0]],

@@ -95,7 +95,10 @@ def compute_anchor_mask(points_xy, points_mask, point_cloud_range, bev_shape):
     large = large.at[iy, ix].max(points_mask)
     pad = jnp.pad(large, ((0, 1), (0, 1)))
     dil = pad[:-1, :-1] | pad[1:, :-1] | pad[:-1, 1:] | pad[1:, 1:]
-    return jnp.repeat(jnp.repeat(dil, 10, axis=0), 10, axis=1)
+    fine = jnp.repeat(jnp.repeat(dil, 10, axis=0), 10, axis=1)
+    # h/w may not be multiples of 10; the reference's coarse grid simply
+    # never activates the remainder cells, so pad with False
+    return jnp.pad(fine, ((0, h - fine.shape[0]), (0, w - fine.shape[1])))
 
 
 def assign_anchor_targets(anchors, gt_boxes, gt_valid, coder,
