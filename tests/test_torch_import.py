@@ -1,0 +1,84 @@
+"""Weight-layout conversion checks for the torch->flax importer."""
+import jax
+jax.config.update('jax_default_matmul_precision', 'highest')
+import numpy as np
+
+from virconv_tpu.utils import torch_import as ti
+
+
+def test_spconv2_kernel_layout_matches_offset_order():
+    """A spconv2-style kernel converted to (K, in, out) must reproduce the
+    dense conv result under our offset enumeration (z-major ascending)."""
+    import jax.numpy as jnp
+    from virconv_tpu.ops import sparse as sp
+
+    rng = np.random.default_rng(0)
+    out_c, in_c = 5, 4
+    w_torch = rng.standard_normal((out_c, 3, 3, 3, in_c)).astype(np.float32)
+    w_ours = ti.spconv_kernel_to_gathered(w_torch)
+    assert w_ours.shape == (27, in_c, out_c)
+    # tap (dz, dy, dx) index in our order:
+    for kz in range(3):
+        for ky in range(3):
+            for kx in range(3):
+                k = (kz * 3 + ky) * 3 + kx
+                np.testing.assert_array_equal(
+                    w_ours[k], w_torch[:, kz, ky, kx, :].T)
+
+
+def test_conv2d_and_linear_layouts():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((8, 4, 3, 3)).astype(np.float32)
+    f = ti.conv2d_to_flax(w)
+    assert f.shape == (3, 3, 4, 8)
+    np.testing.assert_array_equal(f[1, 2], w[:, :, 1, 2].T)
+
+    lin = rng.standard_normal((16, 32)).astype(np.float32)
+    assert ti.linear_to_flax(lin).shape == (32, 16)
+
+
+def test_torch_conv_equals_flax_conv_after_conversion():
+    """End-to-end: torch Conv2d == flax Conv with the converted kernel."""
+    import torch
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 8, 10, 4)).astype(np.float32)
+    tconv = torch.nn.Conv2d(4, 6, 3, padding=1, bias=True)
+    with torch.no_grad():
+        ty = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ty = ty.numpy().transpose(0, 2, 3, 1)
+
+    fconv = nn.Conv(6, (3, 3), padding='SAME')
+    variables = {'params': {
+        'kernel': jnp.asarray(ti.conv2d_to_flax(
+            tconv.weight.detach().numpy())),
+        'bias': jnp.asarray(tconv.bias.detach().numpy())}}
+    fy = np.asarray(fconv.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(fy, ty, atol=1e-4)
+
+
+def test_state_dict_import_maps_backbone():
+    rng = np.random.default_rng(3)
+    sd = {
+        'backbone_3d.conv_input.0.weight':
+            rng.standard_normal((16, 3, 3, 3, 8)).astype(np.float32),
+        'backbone_3d.conv_input.1.weight': np.ones(16, np.float32),
+        'backbone_3d.conv_input.1.bias': np.zeros(16, np.float32),
+        'backbone_3d.conv_input.1.running_mean': np.zeros(16, np.float32),
+        'backbone_3d.conv_input.1.running_var': np.ones(16, np.float32),
+        'dense_head.conv_cls.weight':
+            rng.standard_normal((2, 256, 1, 1)).astype(np.float32),
+        'dense_head.conv_cls.bias': np.zeros(2, np.float32),
+        'something.unknown.weight': np.zeros(3, np.float32),
+    }
+    variables, unmapped = ti.import_state_dict(sd, report_unmapped=False)
+    p = variables['params']
+    assert p['backbone']['lidar']['conv_input']['kernel'].shape == (27, 8, 16)
+    assert p['backbone']['lidar']['conv_input'][
+        'MaskedBatchNorm_0']['scale'].shape == (16,)
+    assert variables['batch_stats']['backbone']['lidar']['conv_input'][
+        'MaskedBatchNorm_0']['mean'].shape == (16,)
+    assert p['dense_head']['conv_cls']['kernel'].shape == (1, 1, 256, 2)
+    assert 'something.unknown.weight' in unmapped
