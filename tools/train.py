@@ -81,6 +81,8 @@ def main():
                              % datetime.datetime.now().strftime(
                                  '%Y%m%d-%H%M%S'))
     logger = common_utils.create_logger(log_file)
+    from virconv_tpu.utils.metrics import MetricsLogger
+    metrics = MetricsLogger(output_dir / 'tensorboard')
     logger.info('********** Start training **********')
     log_config_to_file(cfg, logger=logger)
     if args.fix_random_seed:
@@ -139,10 +141,16 @@ def main():
                 logger.info(
                     f'epoch {epoch} it {it}/{steps_per_epoch} '
                     f'loss {float(loss):.4f} lr {lr:.6f}')
+                metrics.scalar('train/loss', float(loss), int(state.step))
+                metrics.scalar('meta_data/learning_rate', lr,
+                               int(state.step))
+                metrics.scalars('train', jax.device_get(tb),
+                                int(state.step))
         logger.info('epoch %d done in %.1fs' % (epoch, time.time() - t_epoch))
         save_checkpoint(ckpt_dir, jax.device_get(state), epoch + 1,
                         max_keep=args.max_ckpt_save_num)
 
+    metrics.close()
     logger.info('********** Training done **********')
 
 
