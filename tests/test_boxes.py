@@ -163,3 +163,21 @@ class TestLosses:
         np.testing.assert_allclose(l_eq, 0.0, atol=1e-4)
         shifted = boxes.at[:, 0].add(0.5)
         assert (np.asarray(jb.bb_loss(shifted, boxes)) > l_eq + 1e-3).all()
+
+
+class TestODIoU:
+    def test_differentiable_and_decreasing(self):
+        import jax
+        from virconv_tpu.ops.odiou import odiou_3d_loss
+        gt = jnp.asarray([[5.0, 2.0, -1.0, 4.0, 1.6, 1.5, 0.3]])
+        pred = jnp.asarray([[5.6, 2.3, -1.0, 4.0, 1.6, 1.5, 0.5]])
+
+        def loss_fn(p):
+            return odiou_3d_loss(p, gt).sum()
+
+        g = jax.grad(loss_fn)(pred)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+        # one gradient step toward the gt reduces the loss
+        stepped = pred - 0.1 * g
+        assert float(loss_fn(stepped)) < float(loss_fn(pred))

@@ -65,6 +65,7 @@ class NRConvBlock(nn.Module):
     padding: Tuple[int, int, int] = (1, 1, 1)
     voxel_size: Tuple[float, float, float] = (0.05, 0.05, 0.05)
     point_cloud_range: Tuple[float, ...] = (0, -40, -3, 70.4, 40, 1)
+    out_capacity: int | None = None   # strided blocks: downsampled row cap
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, v2r, p2t, trans_params,
@@ -81,6 +82,7 @@ class NRConvBlock(nn.Module):
         if self.stride > 1:
             st = SparseDownBlock(self.out_channels, (3, 3, 3),
                                  (self.stride,) * 3, self.padding,
+                                 out_capacity=self.out_capacity,
                                  name='down')(st, train)
         half = self.out_channels // 2
         nmap3d = sp.build_subm_neighbor_map(st, 3)
@@ -107,43 +109,58 @@ class NRConvBlock(nn.Module):
         coords2d = jnp.stack([d3.coords[:, 0], u, v], axis=-1)
         coords2d = jnp.where(d3.mask[:, None], coords2d, -1)
 
+        # 2D grid key space is small -> dense-table lookup works on unsorted
+        # rows, so the image-plane tensor keeps d3's row order (no sort /
+        # un-sort round trip) and the outputs concatenate directly.
         st2d = sp.SparseTensor(feats=d3.feats, coords=coords2d, mask=d3.mask,
                                spatial_shape=IMG_GRID,
                                batch_size=st.batch_size)
-        st2d, order = sp.sort_by_key_with_perm(st2d)
         nmap2d = sp.build_subm_neighbor_map(st2d, 3)
         d2 = SubMConvBlock(half, name='d2_conv1')(st2d, nmap2d, train)
         d2 = SubMConvBlock(half, name='d2_conv2')(d2, nmap2d, train)
-        inv = jnp.argsort(order)
-        d2_feats = d2.feats[inv]
 
-        return d3.replace(feats=jnp.concatenate([d3.feats, d2_feats], -1))
+        return d3.replace(feats=jnp.concatenate([d3.feats, d2.feats], -1))
+
+
+def _cap(n: int, ratio: float) -> int:
+    """Scale a row capacity, keeping a multiple of 512."""
+    return max(512, int(n * ratio) // 512 * 512)
 
 
 class LidarStack(nn.Module):
-    """The 4-stage LiDAR spconv stack + conv_out of VirConv8x."""
+    """The 4-stage LiDAR spconv stack + conv_out of VirConv8x.
+
+    Row capacities shrink with the voxel stride (downsampling merges
+    voxels; KITTI scenes occupy well under 60%/35% of the input count at
+    strides 4/8), cutting gather/matmul rows at the coarse scales.
+    """
 
     num_filters: Tuple[int, ...] = (16, 32, 64, 64)
     out_features: int = 64
+    cap_ratios: Tuple[float, ...] = (1.0, 0.6, 0.35)   # conv2/3/4
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, train: bool):
         nf = self.num_filters
+        n0 = st.capacity
         nmap1 = sp.build_subm_neighbor_map(st, 3)
         x = SubMConvBlock(nf[0], name='conv_input')(st, nmap1, train)
         x1 = SubMConvBlock(nf[0], name='conv1')(x, nmap1, train)
 
-        x2 = SparseDownBlock(nf[1], name='conv2_down')(x1, train)
+        x2 = SparseDownBlock(nf[1], out_capacity=_cap(n0, self.cap_ratios[0]),
+                             name='conv2_down')(x1, train)
         nmap2 = sp.build_subm_neighbor_map(x2, 3)
         x2 = SubMConvBlock(nf[1], name='conv2_a')(x2, nmap2, train)
         x2 = SubMConvBlock(nf[1], name='conv2_b')(x2, nmap2, train)
 
-        x3 = SparseDownBlock(nf[2], name='conv3_down')(x2, train)
+        x3 = SparseDownBlock(nf[2], out_capacity=_cap(n0, self.cap_ratios[1]),
+                             name='conv3_down')(x2, train)
         nmap3 = sp.build_subm_neighbor_map(x3, 3)
         x3 = SubMConvBlock(nf[2], name='conv3_a')(x3, nmap3, train)
         x3 = SubMConvBlock(nf[2], name='conv3_b')(x3, nmap3, train)
 
         x4 = SparseDownBlock(nf[3], padding=(0, 1, 1),
+                             out_capacity=_cap(n0, self.cap_ratios[2]),
                              name='conv4_down')(x3, train)
         nmap4 = sp.build_subm_neighbor_map(x4, 3)
         x4 = SubMConvBlock(nf[3], name='conv4_a')(x4, nmap4, train)
@@ -151,6 +168,7 @@ class LidarStack(nn.Module):
 
         out = SparseDownBlock(self.out_features, kernel_size=(3, 1, 1),
                               stride=(2, 1, 1), padding=(0, 0, 0),
+                              out_capacity=_cap(n0, self.cap_ratios[2]),
                               name='conv_out')(x4, train)
         return {'x_conv1': x1, 'x_conv2': x2, 'x_conv3': x3, 'x_conv4': x4,
                 'out': out}
@@ -179,16 +197,20 @@ class NRConvStack(nn.Module):
 
         if self.discard_input:
             st = discard(st)
+        n0 = st.capacity
         x1 = NRConvBlock(nf[0], stride=1, name='vir_conv1', **kw)(
             st, v2r, p2t, trans_params, 1, train)
         x1d = discard(x1)
-        x2 = NRConvBlock(nf[1], stride=2, name='vir_conv2', **kw)(
+        x2 = NRConvBlock(nf[1], stride=2, out_capacity=_cap(n0, 1.0),
+                         name='vir_conv2', **kw)(
             x1d, v2r, p2t, trans_params, 2, train)
         x2d = discard(x2)
-        x3 = NRConvBlock(nf[2], stride=2, name='vir_conv3', **kw)(
+        x3 = NRConvBlock(nf[2], stride=2, out_capacity=_cap(n0, 0.6),
+                         name='vir_conv3', **kw)(
             x2d, v2r, p2t, trans_params, 4, train)
         x3d = discard(x3)
         x4 = NRConvBlock(nf[3], stride=2, padding=(0, 1, 1),
+                         out_capacity=_cap(n0, 0.35),
                          name='vir_conv4', **kw)(
             x3d, v2r, p2t, trans_params, 8, train)
         return {'x_conv1': x1, 'x_conv2': x2, 'x_conv3': x3, 'x_conv4': x4}
