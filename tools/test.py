@@ -42,44 +42,10 @@ def parse_config():
 
 
 def eval_one_ckpt(args, cfg, ckpt_path, logger, output_dir):
-    import jax
-    from virconv_tpu.datasets import build_dataloader
-    from virconv_tpu.models.detectors.voxel_rcnn import VoxelRCNN
-    from virconv_tpu.train.trainer import load_checkpoint
-    from virconv_tpu.utils.postprocess import post_process_batch
-
-    dataset, loader, _ = build_dataloader(
-        dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
-        batch_size=args.batch_size, workers=args.workers, logger=logger,
-        training=False)
-
-    model = VoxelRCNN(model_cfg=cfg.MODEL, dataset_cfg=cfg.DATA_CONFIG,
-                      num_class=len(cfg.CLASS_NAMES))
-    ckpt = load_checkpoint(ckpt_path)
-    variables = {'params': ckpt['params'],
-                 'batch_stats': ckpt['batch_stats']}
-    forward = jax.jit(functools.partial(model.apply, train=False))
-
-    det_annos = []
-    t_total, n_frames = 0.0, 0
-    result_dir = output_dir / 'final_result' / 'data'
-    if args.save_to_file:
-        result_dir.mkdir(parents=True, exist_ok=True)
-    for batch, meta in loader:
-        t0 = time.perf_counter()
-        out = forward(variables, batch)
-        jax.block_until_ready(out['batch_box_preds'])
-        t_total += time.perf_counter() - t0
-        n_frames += meta['batch_size']
-        pred_dicts = post_process_batch(out, cfg.MODEL.POST_PROCESSING,
-                                        len(cfg.CLASS_NAMES))
-        det_annos += dataset.generate_prediction_dicts(
-            meta, pred_dicts, cfg.CLASS_NAMES,
-            output_path=result_dir if args.save_to_file else None)
-    logger.info('sec_per_example: %.4f' % (t_total / max(n_frames, 1)))
-    result_str, result_dict = dataset.evaluation(det_annos, cfg.CLASS_NAMES)
-    logger.info(result_str)
-    return result_dict
+    from virconv_tpu.train.eval_loop import eval_one_ckpt as _eval
+    return _eval(cfg, ckpt_path, logger, output_dir,
+                 batch_size=args.batch_size, workers=args.workers,
+                 save_to_file=args.save_to_file)
 
 
 def main():

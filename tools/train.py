@@ -35,6 +35,8 @@ def parse_config():
                         default='none')
     parser.add_argument('--fix_random_seed', action='store_true')
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
+    parser.add_argument('--no_eval', action='store_true',
+                        help='skip the post-training auto-eval')
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -93,6 +95,11 @@ def main():
         batch_size=batch_size, root_path=None, workers=args.workers,
         logger=logger, training=True)
     steps_per_epoch = len(loader)
+    if steps_per_epoch == 0:
+        raise RuntimeError(
+            f'No training batches: dataset at {cfg.DATA_CONFIG.DATA_PATH} '
+            f'is empty or smaller than the batch size ({batch_size}). '
+            'Check DATA_CONFIG.DATA_PATH and the info pkls.')
     total_steps = steps_per_epoch * epochs
 
     model = VoxelRCNN(model_cfg=cfg.MODEL, dataset_cfg=cfg.DATA_CONFIG,
@@ -152,6 +159,18 @@ def main():
 
     metrics.close()
     logger.info('********** Training done **********')
+
+    if not args.no_eval:
+        # auto-eval the newest checkpoints (reference train.py:186-192)
+        from virconv_tpu.train.eval_loop import eval_one_ckpt
+        from virconv_tpu.train.trainer import latest_checkpoint
+        eval_dir = output_dir / 'eval'
+        eval_dir.mkdir(exist_ok=True)
+        last = latest_checkpoint(ckpt_dir)
+        if last is not None:
+            logger.info(f'==> auto-eval {last}')
+            eval_one_ckpt(cfg, last, logger, eval_dir, batch_size=1,
+                          workers=args.workers)
 
 
 if __name__ == '__main__':

@@ -64,6 +64,10 @@ def voxel_query(st: sp.SparseTensor, table, query_xyz, query_coords,
     vs = jnp.asarray(voxel_size, jnp.float32) * stride
     mins = jnp.asarray(point_cloud_range[:3], jnp.float32)
     m = query_xyz.shape[0]
+    # Only chunk when the candidate buffer would be large; sequential
+    # lax.map chunks underutilize the chip for the typical eval sizes.
+    if m * k <= 16_000_000:
+        chunks = 1
     csize = -(-m // chunks)
     pad = csize * chunks - m
     qx = jnp.pad(query_xyz, ((0, pad), (0, 0))).reshape(chunks, csize, 3)
@@ -88,12 +92,16 @@ def voxel_query(st: sp.SparseTensor, table, query_xyz, query_coords,
         centers = (czyx[..., ::-1] + 0.5) * vs + mins
         dist2 = jnp.sum((centers - cxyz[:, None, :]) ** 2, -1)
         ok = ok & (dist2 < radius * radius)
-        # first nsample in window-scan order
-        prio = jnp.where(ok, jnp.arange(k, dtype=jnp.float32)[None], jnp.inf)
-        _, top = jax.lax.top_k(-prio, nsample)                # (m, nsample)
-        sel_ok = jnp.take_along_axis(ok, top, axis=1)
-        sel_rows = jnp.take_along_axis(safe, top, axis=1)
-        return jnp.where(sel_ok, sel_rows, 0), sel_ok
+        # first nsample in window-scan order: rank valid hits by cumsum and
+        # scatter into their slot (cheaper than top_k over the K window)
+        mm_ = ok.shape[0]
+        rank = jnp.cumsum(ok.astype(jnp.int32), axis=1)
+        slot = jnp.where(ok & (rank <= nsample), rank - 1, nsample)
+        rows_sel = jnp.zeros((mm_, nsample + 1), jnp.int32)
+        rows_sel = rows_sel.at[jnp.arange(mm_)[:, None], slot].set(safe)
+        hit = jnp.zeros((mm_, nsample + 1), jnp.bool_)
+        hit = hit.at[jnp.arange(mm_)[:, None], slot].set(ok)
+        return rows_sel[:, :nsample], hit[:, :nsample]
 
     idx, valid = jax.lax.map(one_chunk, (qx, qc, qm))
     idx = idx.reshape(-1, nsample)[:m]

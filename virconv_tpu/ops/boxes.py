@@ -91,12 +91,28 @@ def _seg_intersections(ca, cb):
     return pts.reshape(16, 2), ok.reshape(16)
 
 
-def _rect_intersection_area(box_a, box_b):
-    """Overlap area of two rotated BEV rects (the CUDA kernel's algorithm)."""
-    ca = boxes_to_corners_bev(box_a[None])[0]
-    cb = boxes_to_corners_bev(box_b[None])[0]
-    in_b = _point_in_rect(ca, box_b)           # (4,)
-    in_a = _point_in_rect(cb, box_a)           # (4,)
+def _box_pair_pack(boxes):
+    """Precompute per-box quantities reused across all pairs:
+    corners (N, 4, 2) and [cx, cy, cos, sin, hx, hy] (N, 6)."""
+    corners = boxes_to_corners_bev(boxes)
+    pack = jnp.stack([boxes[:, 0], boxes[:, 1], jnp.cos(boxes[:, 6]),
+                      jnp.sin(boxes[:, 6]), boxes[:, 3] / 2, boxes[:, 4] / 2],
+                     axis=-1)
+    return corners, pack
+
+
+def _point_in_packed(points, pack):
+    d = points - pack[0:2]
+    lx = d[..., 0] * pack[2] + d[..., 1] * pack[3]
+    ly = -d[..., 0] * pack[3] + d[..., 1] * pack[2]
+    return (jnp.abs(lx) <= pack[4] + EPS) & (jnp.abs(ly) <= pack[5] + EPS)
+
+
+def _rect_intersection_area_packed(ca, pa, cb, pb):
+    """Overlap area of two rotated BEV rects from precomputed corners/trig
+    (the CUDA kernel's candidate-vertex algorithm)."""
+    in_b = _point_in_packed(ca, pb)            # (4,)
+    in_a = _point_in_packed(cb, pa)            # (4,)
     xpts, xok = _seg_intersections(ca, cb)     # (16, 2), (16,)
 
     cand = jnp.concatenate([ca, cb, xpts], axis=0)        # (24, 2)
@@ -118,21 +134,83 @@ def _rect_intersection_area(box_a, box_b):
     return jnp.where(cnt >= 3, area, 0.0)
 
 
+def _rect_intersection_area(box_a, box_b):
+    ca, pa = _box_pair_pack(box_a[None])
+    cb, pb = _box_pair_pack(box_b[None])
+    return _rect_intersection_area_packed(ca[0], pa[0], cb[0], pb[0])
+
+
+_SH_V = 10   # max vertices while clipping a quad against a quad (8) + slack
+
+
+def _clip_halfplane(poly, count, p0, p1):
+    """Clip a masked polygon (VERTS, 2) with ``count`` valid entries against
+    the half-plane left of edge p0->p1. Returns (new_poly, new_count)."""
+    v = _SH_V
+    idx = jnp.arange(v)
+    valid = idx < count
+    nxt = jnp.where(idx + 1 < count, idx + 1, 0)
+    cur = poly
+    nxtv = poly[nxt]
+    e = p1 - p0
+    side_cur = e[0] * (cur[:, 1] - p0[1]) - e[1] * (cur[:, 0] - p0[0])
+    side_nxt = e[0] * (nxtv[:, 1] - p0[1]) - e[1] * (nxtv[:, 0] - p0[0])
+    in_cur = side_cur >= -EPS
+    in_nxt = side_nxt >= -EPS
+    denom = side_cur - side_nxt
+    t = side_cur / jnp.where(jnp.abs(denom) < EPS, 1.0, denom)
+    inter = cur + t[:, None] * (nxtv - cur)
+
+    # each edge emits: cur (if inside) and intersection (if crossing)
+    emit_cur = valid & in_cur
+    emit_int = valid & (in_cur != in_nxt)
+    # slot layout: 2 candidate slots per input vertex, compact by cumsum
+    emits = jnp.stack([emit_cur, emit_int], 1).reshape(-1)        # (2V,)
+    pts = jnp.stack([cur, inter], 1).reshape(-1, 2)               # (2V, 2)
+    pos = jnp.cumsum(emits.astype(jnp.int32)) - 1
+    slot = jnp.where(emits & (pos < v), pos, v)
+    out = jnp.zeros((v + 1, 2), poly.dtype).at[slot].set(pts)[:v]
+    return out, jnp.minimum(emits.sum(), v)
+
+
+def _rect_intersection_area_sh(ca, pa, cb, pb):
+    """Sort-free rotated-rect overlap via Sutherland-Hodgman clipping.
+
+    Clips quad A against the 4 half-planes of quad B with fixed-size masked
+    buffers — no 24-way sort per pair (cheaper on the VPU than the
+    candidate-vertex algorithm). Corners must be counter-clockwise.
+    """
+    poly = jnp.zeros((_SH_V, 2), ca.dtype).at[:4].set(ca)
+    count = jnp.asarray(4, jnp.int32)
+    for e in range(4):
+        poly, count = _clip_halfplane(poly, count, cb[e], cb[(e + 1) % 4])
+    idx = jnp.arange(_SH_V)
+    nxt = jnp.where(idx + 1 < count, idx + 1, 0)
+    cross = poly[:, 0] * poly[nxt, 1] - poly[nxt, 0] * poly[:, 1]
+    area = 0.5 * jnp.abs(jnp.where(idx < count, cross, 0.0).sum())
+    return jnp.where(count >= 3, area, 0.0)
+
+
 def boxes_overlap_bev(boxes_a, boxes_b, row_chunk: int | None = None):
     """Pairwise rotated BEV overlap areas, (N, M).
 
-    The per-pair algorithm materializes ~50 floats of candidate-vertex
-    buffers; for large N*M pass ``row_chunk`` to bound transient memory
-    (rows are processed in lax.map chunks).
+    Corner/trig terms are precomputed per box (not per pair); for large N*M
+    pass ``row_chunk`` to bound transient memory (rows are processed in
+    lax.map chunks).
     """
-    fn = jax.vmap(jax.vmap(_rect_intersection_area, (None, 0)), (0, None))
+    ca, pa = _box_pair_pack(boxes_a)
+    cb, pb = _box_pair_pack(boxes_b)
+    fn = jax.vmap(jax.vmap(_rect_intersection_area_packed,
+                           (None, None, 0, 0)), (0, 0, None, None))
     n = boxes_a.shape[0]
     if row_chunk is None or n <= row_chunk:
-        return fn(boxes_a, boxes_b)
+        return fn(ca, pa, cb, pb)
     pad = (-n) % row_chunk
-    a = jnp.pad(boxes_a, ((0, pad), (0, 0)))
-    a = a.reshape(-1, row_chunk, boxes_a.shape[-1])
-    out = jax.lax.map(lambda rows: fn(rows, boxes_b), a)
+    car = jnp.pad(ca, ((0, pad), (0, 0), (0, 0)))
+    par = jnp.pad(pa, ((0, pad), (0, 0)))
+    car = car.reshape(-1, row_chunk, 4, 2)
+    par = par.reshape(-1, row_chunk, 6)
+    out = jax.lax.map(lambda args: fn(args[0], args[1], cb, pb), (car, par))
     return out.reshape(-1, boxes_b.shape[0])[:n]
 
 
