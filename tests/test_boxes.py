@@ -181,3 +181,48 @@ class TestODIoU:
         # one gradient step toward the gt reduces the loss
         stepped = pred - 0.1 * g
         assert float(loss_fn(stepped)) < float(loss_fn(pred))
+
+
+class TestGreenOverlapDegenerate:
+    """The Green's-theorem overlap must handle degenerate configurations."""
+
+    def test_identical_boxes_full_area(self):
+        rng = np.random.default_rng(21)
+        b = jnp.asarray(random_boxes(rng, 5), jnp.float32)
+        ov = np.asarray(jb.boxes_overlap_bev(b, b))
+        areas = np.asarray(b[:, 3] * b[:, 4])
+        np.testing.assert_allclose(np.diag(ov), areas, rtol=1e-3)
+
+    def test_abutting_boxes_zero_overlap(self):
+        a = jnp.asarray([[0, 0, 0, 4, 2, 2, 0.0]], jnp.float32)
+        b = jnp.asarray([[4, 0, 0, 4, 2, 2, 0.0]], jnp.float32)
+        assert float(jb.boxes_overlap_bev(a, b)[0, 0]) < 1e-3
+
+    def test_contained_box(self):
+        a = jnp.asarray([[0, 0, 0, 10, 10, 2, 0.3]], jnp.float32)
+        b = jnp.asarray([[0.5, 0.2, 0, 2, 1, 2, 1.0]], jnp.float32)
+        np.testing.assert_allclose(
+            float(jb.boxes_overlap_bev(a, b)[0, 0]), 2.0, rtol=1e-4)
+
+    def test_chunked_matches_full(self):
+        rng = np.random.default_rng(22)
+        a = jnp.asarray(random_boxes(rng, 300), jnp.float32)
+        b = jnp.asarray(random_boxes(rng, 40), jnp.float32)
+        full = np.asarray(jb.boxes_overlap_bev(a, b))
+        chunked = np.asarray(jb.boxes_overlap_bev(a, b, row_chunk=128))
+        np.testing.assert_allclose(full, chunked, atol=1e-5)
+
+
+def test_green_matches_candidate_vertex():
+    """Cross-validate the Green's-theorem overlap against the
+    candidate-vertex reference implementation."""
+    rng = np.random.default_rng(33)
+    a = jnp.asarray(random_boxes(rng, 12), jnp.float32)
+    b = jnp.asarray(random_boxes(rng, 9), jnp.float32)
+    green = np.asarray(jb.boxes_overlap_bev(a, b))
+    ca, pa = jb._box_pair_pack(a)
+    cb, pb = jb._box_pair_pack(b)
+    f = jax.vmap(jax.vmap(jb._rect_intersection_area_packed,
+                          (None, None, 0, 0)), (0, 0, None, None))
+    cand = np.asarray(f(ca, pa, cb, pb))
+    np.testing.assert_allclose(green, cand, atol=1e-3)

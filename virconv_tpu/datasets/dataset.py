@@ -220,13 +220,19 @@ class DatasetTemplate:
         ret['v2r'] = np.stack(v2r)
         ret['p2t'] = np.stack(p2t)
 
-        if self.training:
+        # gt boxes travel with the batch whenever annotations exist (train
+        # targets; eval recall records) — replica 0 frame
+        if all('gt_boxes' in s for s in batch_list):
             gt = np.zeros((b, MAX_GT_BOXES, 8), np.float32)
             gt_valid = np.zeros((b, MAX_GT_BOXES), bool)
             for k, s in enumerate(batch_list):
                 n = min(len(s['gt_boxes']), MAX_GT_BOXES)
                 gt[k, :n] = s['gt_boxes'][:n]
                 gt_valid[k, :n] = True
+        else:
+            gt, gt_valid = None, None
+
+        if self.training:
             ret['gt_boxes'] = gt
             ret['gt_valid'] = gt_valid
             if 'aug_param' in batch_list[0]:
@@ -248,7 +254,8 @@ class DatasetTemplate:
             ret['gt_boxes'] = None
             ret['gt_valid'] = None
 
-        meta = {'frame_id': [s.get('frame_id') for s in batch_list],
+        meta = {'gt_boxes': gt, 'gt_valid': gt_valid,
+                'frame_id': [s.get('frame_id') for s in batch_list],
                 'calib': [s['calib'] for s in batch_list],
                 'image_shape': [s.get('image_shape') for s in batch_list],
                 'batch_size': b}

@@ -36,11 +36,23 @@ def build_row_table(st: sp.SparseTensor) -> jnp.ndarray:
     return table.at[flat].set(jnp.where(st.mask, rows, -1))[:size]
 
 
-def _window_offsets(ranges: Sequence[int]) -> np.ndarray:
+def _window_offsets(ranges: Sequence[int], radius=None, voxel_size=None,
+                    stride=1) -> np.ndarray:
+    """Offsets of the query window, pruned to cells that can contain a point
+    within ``radius`` of any point in the center cell (cuts ~30% of the
+    9x9x9 windows used by the coarse group)."""
     rz, ry, rx = ranges
     zz, yy, xx = np.meshgrid(np.arange(-rz, rz + 1), np.arange(-ry, ry + 1),
                              np.arange(-rx, rx + 1), indexing='ij')
-    return np.stack([zz, yy, xx], -1).reshape(-1, 3).astype(np.int32)
+    offs = np.stack([zz, yy, xx], -1).reshape(-1, 3).astype(np.int32)
+    if radius is not None and voxel_size is not None:
+        vs = np.asarray(voxel_size, np.float64)[::-1] * stride   # z, y, x
+        # min distance between any point of the center cell and any point of
+        # the offset cell: (|o| - 1) * vs per axis, clamped at 0
+        gap = np.clip(np.abs(offs) - 1, 0, None) * vs[None]
+        min_dist = np.linalg.norm(gap, axis=1)
+        offs = offs[min_dist < radius]
+    return offs
 
 
 def voxel_query(st: sp.SparseTensor, table, query_xyz, query_coords,
@@ -58,7 +70,9 @@ def voxel_query(st: sp.SparseTensor, table, query_xyz, query_coords,
         idx: (M, nsample) int32 rows into st (0 where invalid),
         valid: (M, nsample) bool.
     """
-    offs = jnp.asarray(_window_offsets(ranges))              # (K, 3)
+    offs = jnp.asarray(_window_offsets(ranges, radius=radius,
+                                       voxel_size=voxel_size,
+                                       stride=stride))       # (K, 3)
     k = offs.shape[0]
     d, h, w = st.spatial_shape
     vs = jnp.asarray(voxel_size, jnp.float32) * stride

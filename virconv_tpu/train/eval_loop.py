@@ -53,12 +53,22 @@ def eval_one_ckpt(cfg, ckpt_path, logger, output_dir, batch_size=1,
         n_frames += meta['batch_size']
         pred_dicts = post_process_batch(out, cfg.MODEL.POST_PROCESSING,
                                         len(cfg.CLASS_NAMES))
+        # recall records vs gt (reference eval_utils recall stats)
+        if meta.get('gt_boxes') is not None:
+            for bix, pd in enumerate(pred_dicts):
+                gtb = meta['gt_boxes'][bix][meta['gt_valid'][bix]]
+                for key, (hit, tot) in compute_recall(
+                        np.asarray(pd['pred_boxes']), gtb).items():
+                    h, t = recalls.get(key, (0, 0))
+                    recalls[key] = (h + hit, t + tot)
         det_annos += dataset.generate_prediction_dicts(
             meta, pred_dicts, cfg.CLASS_NAMES,
             output_path=result_dir if save_to_file else None)
 
     if n_frames:
         logger.info('sec_per_example: %.4f' % (t_total / n_frames))
+    for key, (hit, tot) in sorted(recalls.items()):
+        logger.info('%s: %.4f (%d/%d)' % (key, hit / max(tot, 1), hit, tot))
     if not det_annos:
         return {}
     result_str, result_dict = dataset.evaluation(det_annos, cfg.CLASS_NAMES)

@@ -102,6 +102,10 @@ def import_state_dict(state_dict, report_unmapped=True):
             _set(params, flax_path + ('kernel',), deconv2d_to_flax(val))
         elif kind == 'linear':
             _set(params, flax_path + ('kernel',), linear_to_flax(val))
+        elif kind == 'conv1x1_linear':
+            # Conv1d (out, in, 1) / Conv2d (out, in, 1, 1) -> Dense (in, out)
+            _set(params, flax_path + ('kernel',),
+                 linear_to_flax(val.reshape(val.shape[0], val.shape[1])))
         elif kind == 'bias':
             _set(params, flax_path + ('bias',), val)
         elif kind == 'bn_weight':
@@ -206,8 +210,36 @@ def translate_path(key: str):
         return None
 
     # ---- BEV backbone ----
+    # reference sequentials: blocks.{i} = [ZeroPad, Conv, BN, ReLU,
+    # (Conv, BN, ReLU) x layer_nums]; deblocks.{i} = [(De)Conv, BN, ReLU]
     if parts[0] == 'backbone_2d':
-        return None   # sequential indices differ; handled in round 2
+        if parts[1] == 'blocks':
+            i, j = int(parts[2]), int(parts[3])
+            if j == 1:
+                mod = (f'block{i}_down', 'Conv_0')
+            elif j == 2:
+                mod = (f'block{i}_down', 'BatchNorm_0')
+            elif (j - 4) % 3 == 0:
+                mod = (f'block{i}_conv{(j - 4) // 3}', 'Conv_0')
+            elif (j - 5) % 3 == 0:
+                mod = (f'block{i}_conv{(j - 5) // 3}', 'BatchNorm_0')
+            else:
+                return None
+            base = ('bev_backbone',) + mod
+            if mod[-1] == 'Conv_0' and leaf == 'weight':
+                return ('conv2d', base)
+            if mod[-1] == 'BatchNorm_0':
+                k = bn_kind()
+                return (k, base) if k else None
+        if parts[1] == 'deblocks':
+            i, j = int(parts[2]), int(parts[3])
+            if j == 0 and leaf == 'weight':
+                kind = 'deconv2d' if i > 0 else 'conv2d'
+                return (kind, ('bev_backbone', f'deblock{i}'))
+            if j == 1:
+                k = bn_kind()
+                return (k, ('bev_backbone', f'deblock{i}_bn')) if k else None
+        return None
 
     # ---- dense head ----
     if parts[0] == 'dense_head':
@@ -218,4 +250,67 @@ def translate_path(key: str):
                 return ('conv2d', ('dense_head', m))
             if leaf == 'bias':
                 return ('bias', ('dense_head', m))
+        return None
+
+    # ---- roi head ----
+    if parts[0] == 'roi_head':
+        fam = parts[1]
+        fc_heads = {'shared_fc_layers': 'shared_fc',
+                    'shared_fc_layers_mm': 'shared_fc_mm',
+                    'cls_layers': 'cls_head', 'reg_layers': 'reg_head',
+                    'cls_layers_PI': 'cls_head_pi',
+                    'reg_layers_PI': 'reg_head_pi',
+                    'cls_layers_P': 'cls_head_p',
+                    'reg_layers_P': 'reg_head_p'}
+        if fam in fc_heads:
+            j = int(parts[3])
+            ours = ('roi_head', fc_heads[fam])
+            # [Lin, BN, ReLU, Drop] x k then optional final Linear(bias)
+            if j % 4 == 0 and j // 4 < 2 and leaf == 'weight' \
+                    and parts[-2] == str(j):
+                return ('linear', ours + (f'fc{j // 4}',))
+            if j % 4 == 1:
+                k = bn_kind()
+                return (k, ours + (f'bn{j // 4}',)) if k else None
+            if j >= 7:   # final projection
+                if leaf == 'weight':
+                    return ('linear', ours + ('out',))
+                if leaf == 'bias':
+                    return ('bias', ours + ('out',))
+            return None
+        if fam in ('cross_attention_layers', 'cross_attention_layers_mm'):
+            ours = ('roi_head', 'cross_attn' if fam.endswith('layers')
+                    else 'cross_attn_mm')
+            m = {'Q_linear': 'q', 'K_linear': 'k', 'V_linear': 'v'}.get(
+                parts[3])
+            if m and leaf == 'weight':
+                return ('linear', ours + (m,))
+            return None   # torch MHA in/out proj handled separately
+        if fam == 'conv_part':
+            j = int(parts[2])
+            if j == 0 and leaf == 'weight':
+                return ('conv2d', ('roi_head', 'part_conv1', 'Conv_0'))
+            if j == 1:
+                k = bn_kind()
+                return (k, ('roi_head', 'part_conv1', 'BatchNorm_0')) \
+                    if k else None
+            if j == 3 and leaf == 'weight':
+                return ('conv2d', ('roi_head', 'part_conv2'))
+        if fam in ('roi_grid_pool_layers', 'roi_grid_pool_layers_mm'):
+            prefix = 'pool' if fam == 'roi_grid_pool_layers' else 'pool_mm'
+            src = ['x_conv3', 'x_conv4'][int(parts[2])]
+            sub, g, j = parts[3], int(parts[4]), int(parts[5])
+            ours = ('roi_head', f'{prefix}_{src}')
+            name = {'mlps_in': (f'mlp_in{g}', f'mlp_in_bn{g}'),
+                    'mlps_pos': (f'mlp_pos{g}', f'mlp_pos_bn{g}'),
+                    'mlps_out': (f'mlp_out{g}', f'mlp_out_bn{g}')}.get(sub)
+            if name is None:
+                return None
+            if j == 0 and leaf == 'weight':
+                # Conv1d/Conv2d k=1 -> Dense
+                return ('conv1x1_linear', ours + (name[0],))
+            if j == 1:
+                k = bn_kind()
+                return (k, ours + (name[1],)) if k else None
+        return None
     return None
