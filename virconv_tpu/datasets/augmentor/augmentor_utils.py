@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...ops import boxes_np
+from ...ops import native as native_ops
 
 
 def random_flip_along_x(gt_boxes, points):
@@ -105,7 +106,7 @@ def noise_per_object(gt_boxes, points=None, points_pseudo=None,
         cand[:, 6] += rot_noises[i]
         others = np.delete(current, i, axis=0)
         if len(others):
-            overlap = boxes_np.boxes_overlap_bev(cand, others)
+            overlap = native_ops.boxes_overlap_bev(cand, others)
             ok = (overlap < 1e-6).all(axis=1)
         else:
             ok = np.ones(num_try, bool)

@@ -17,6 +17,7 @@ from pathlib import Path
 import numpy as np
 
 from ...ops import boxes_np
+from ...ops import native as native_ops
 from . import augmentor_utils
 
 
@@ -126,9 +127,9 @@ class DataBaseSampler:
             .astype(np.float32)
         boxes = boxes.copy()
         boxes[:, 0] += shift_x
-        iou1 = boxes_np.boxes_iou_bev(boxes[:, :7], existed_boxes[:, :7]) \
+        iou1 = native_ops.boxes_iou_bev(boxes[:, :7], existed_boxes[:, :7]) \
             if existed_boxes.shape[0] else None
-        iou2 = boxes_np.boxes_iou_bev(boxes[:, :7], boxes[:, :7])
+        iou2 = native_ops.boxes_iou_bev(boxes[:, :7], boxes[:, :7])
         np.fill_diagonal(iou2, 0)
         m1 = iou1.max(axis=1) if iou1 is not None else iou2.max(axis=1)
         valid = np.nonzero((m1 + iou2.max(axis=1)) == 0)[0]

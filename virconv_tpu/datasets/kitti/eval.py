@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from ...ops import boxes_np
+from ...ops import native as native_ops
 
 MIN_HEIGHT = [40, 25, 25]
 MAX_OCCLUSION = [0, 1, 2]
@@ -78,7 +79,7 @@ def bev_box_overlap(boxes, qboxes, criterion=-1):
     b[:, [3, 4]] = qboxes[:, [2, 3]]
     b[:, 5] = 1
     b[:, 6] = -qboxes[:, 4]
-    inter = boxes_np.boxes_overlap_bev(a, b)
+    inter = native_ops.boxes_overlap_bev(a, b)
     area_a = (boxes[:, 2] * boxes[:, 3])[:, None]
     area_b = (qboxes[:, 2] * qboxes[:, 3])[None, :]
     if criterion == -1:
@@ -106,7 +107,7 @@ def d3_box_overlap(boxes, qboxes, criterion=-1):
     b7[:, [3, 4]] = b5[:, [2, 3]]
     b7[:, 5] = 1
     b7[:, 6] = -b5[:, 4]
-    inter_bev = boxes_np.boxes_overlap_bev(a7, b7)
+    inter_bev = native_ops.boxes_overlap_bev(a7, b7)
 
     ymax_a = boxes[:, 1][:, None]
     ymin_a = (boxes[:, 1] - boxes[:, 4])[:, None]

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import boxes_np
+from . import native as native_ops
 
 
 def limit(ang):
@@ -48,7 +49,7 @@ def compute_wbf(det_names, det_scores, det_boxes, iou_thresh=0.85,
             cluster_names.append(name)
             continue
         merged = np.asarray(cluster_merged).reshape(-1, 7)
-        ious = boxes_np.boxes_iou_bev(box[None, :7], merged[:, :7])[0]
+        ious = native_ops.boxes_iou_bev(box[None, :7], merged[:, :7])[0]
         argmax = int(np.argmax(ious))
         max_iou = float(np.max(ious))
         if max_iou >= iou_thresh:
