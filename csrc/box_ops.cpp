@@ -202,3 +202,145 @@ void points_in_boxes(const float* points, int64_t p, const float* boxes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// KITTI eval inner loop: one image's TP/FP/FN under one score threshold.
+// Mirrors virconv_tpu/datasets/kitti/eval.py::compute_statistics (the
+// official devkit matching protocol); called ~half a million times per
+// full-val evaluation, so the python version is ported here.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// overlaps: (det, gt) row-major. Returns via out[4]: tp, fp, fn, similarity.
+// thresholds_out (capacity >= gt): scores of newly matched TPs (only when
+// compute_fp == 0); returns the count of thresholds written.
+int64_t kitti_compute_statistics(
+    const double* overlaps, int64_t det_size, int64_t gt_size,
+    const double* dt_scores, const double* dt_alphas,
+    const double* gt_alphas, const int64_t* ignored_gt,
+    const int64_t* ignored_det, const double* dt_dc_overlap,
+    int64_t dc_size, int32_t metric, double min_overlap, double thresh,
+    int32_t compute_fp, int32_t compute_aos, double* out,
+    double* thresholds_out) {
+  const double NO_DETECTION = -10000000000.0;
+  bool* assigned = new bool[det_size]();
+  bool* ignored_threshold = new bool[det_size]();
+  if (compute_fp) {
+    for (int64_t j = 0; j < det_size; ++j)
+      ignored_threshold[j] = dt_scores[j] < thresh;
+  }
+  int64_t tp = 0, fp = 0, fn = 0;
+  double similarity = 0.0;
+  int64_t n_thresh = 0;
+  double* delta = new double[gt_size];
+  int64_t n_delta = 0;
+
+  for (int64_t i = 0; i < gt_size; ++i) {
+    if (ignored_gt[i] == -1) continue;
+    int64_t det_idx = -1;
+    double valid_detection = NO_DETECTION;
+    double max_overlap = 0.0;
+    bool assigned_ignored_det = false;
+    for (int64_t j = 0; j < det_size; ++j) {
+      if (ignored_det[j] == -1 || assigned[j] || ignored_threshold[j])
+        continue;
+      const double overlap = overlaps[j * gt_size + i];
+      const double dt_score = dt_scores[j];
+      if (!compute_fp && overlap > min_overlap &&
+          dt_score > valid_detection) {
+        det_idx = j;
+        valid_detection = dt_score;
+      } else if (compute_fp && overlap > min_overlap &&
+                 (overlap > max_overlap || assigned_ignored_det) &&
+                 ignored_det[j] == 0) {
+        max_overlap = overlap;
+        det_idx = j;
+        valid_detection = 1;
+        assigned_ignored_det = false;
+      } else if (compute_fp && overlap > min_overlap &&
+                 valid_detection == NO_DETECTION && ignored_det[j] == 1) {
+        det_idx = j;
+        valid_detection = 1;
+        assigned_ignored_det = true;
+      }
+    }
+    if (valid_detection == NO_DETECTION && ignored_gt[i] == 0) {
+      ++fn;
+    } else if (valid_detection != NO_DETECTION &&
+               (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+      assigned[det_idx] = true;
+    } else if (valid_detection != NO_DETECTION) {
+      ++tp;
+      thresholds_out[n_thresh++] = dt_scores[det_idx];
+      if (compute_aos) delta[n_delta++] = gt_alphas[i] - dt_alphas[det_idx];
+      assigned[det_idx] = true;
+    }
+  }
+  if (compute_fp) {
+    for (int64_t j = 0; j < det_size; ++j) {
+      if (!(assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+            ignored_threshold[j]))
+        ++fp;
+    }
+    int64_t nstuff = 0;
+    if (metric == 0 && dc_size > 0) {
+      for (int64_t i = 0; i < dc_size; ++i) {
+        for (int64_t j = 0; j < det_size; ++j) {
+          if (ignored_det[j] == -1 || assigned[j] || ignored_threshold[j])
+            continue;
+          if (dt_dc_overlap[j * dc_size + i] > min_overlap) {
+            assigned[j] = true;
+            ++nstuff;
+          }
+        }
+      }
+    }
+    fp -= nstuff;
+    if (compute_aos) {
+      double sum = 0.0;
+      for (int64_t k = 0; k < n_delta; ++k)
+        sum += (1.0 + std::cos(delta[k])) / 2.0;
+      similarity = (tp > 0 || fp > 0) ? sum : -1.0;
+    }
+  }
+  out[0] = static_cast<double>(tp);
+  out[1] = static_cast<double>(fp);
+  out[2] = static_cast<double>(fn);
+  out[3] = similarity;
+  delete[] assigned;
+  delete[] ignored_threshold;
+  delete[] delta;
+  return n_thresh;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Accumulate PR rows for all thresholds of one image in one call:
+// pr (n_thresh, 4) is accumulated in place (tp, fp, fn, similarity).
+void kitti_eval_image_pr(
+    const double* overlaps, int64_t det_size, int64_t gt_size,
+    const double* dt_scores, const double* dt_alphas,
+    const double* gt_alphas, const int64_t* ignored_gt,
+    const int64_t* ignored_det, const double* dt_dc_overlap,
+    int64_t dc_size, int32_t metric, double min_overlap,
+    const double* thresholds, int64_t n_thresh, int32_t compute_aos,
+    double* pr) {
+  double out[4];
+  double* tmp = new double[gt_size > 0 ? gt_size : 1];
+  for (int64_t t = 0; t < n_thresh; ++t) {
+    kitti_compute_statistics(
+        overlaps, det_size, gt_size, dt_scores, dt_alphas, gt_alphas,
+        ignored_gt, ignored_det, dt_dc_overlap, dc_size, metric,
+        min_overlap, thresholds[t], 1, compute_aos, out, tmp);
+    pr[t * 4 + 0] += out[0];
+    pr[t * 4 + 1] += out[1];
+    pr[t * 4 + 2] += out[2];
+    if (out[3] != -1.0) pr[t * 4 + 3] += out[3];
+  }
+  delete[] tmp;
+}
+
+}  // extern "C"

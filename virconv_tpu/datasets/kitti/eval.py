@@ -176,6 +176,17 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
     gt_alphas = gt_datas[:, 4]
     dt_bboxes = dt_datas[:, :4]
 
+    if native_ops.available():
+        dt_dc = image_box_overlap(dt_bboxes, np.asarray(dc_bboxes)
+                                  .reshape(-1, 4), criterion=0) \
+            if (metric == 0 and len(dc_bboxes) > 0) else None
+        res = native_ops.kitti_compute_statistics(
+            overlaps, dt_scores, dt_alphas, gt_alphas,
+            np.asarray(ignored_gt), np.asarray(ignored_det), dt_dc,
+            metric, min_overlap, thresh, compute_fp, compute_aos)
+        if res is not None:
+            return res
+
     assigned = np.zeros(det_size, bool)
     ignored_threshold = dt_scores < thresh if compute_fp \
         else np.zeros(det_size, bool)
@@ -310,6 +321,30 @@ def _calculate_overlaps(gt_annos, dt_annos, metric):
     return overlaps
 
 
+_dc_overlap_cache = {}
+
+
+def _prepare_native(gt_datas_list, dt_datas_list, ignored_gts, ignored_dets,
+                    dontcares, overlaps, metric):
+    """Make the per-image arrays contiguous for the native eval loop and
+    cache the detection-vs-DontCare overlaps. Returns False when the native
+    library is unavailable (python fallback used instead)."""
+    if not native_ops.available():
+        return False
+    _dc_overlap_cache.clear()
+    for i in range(len(gt_datas_list)):
+        overlaps[i] = np.ascontiguousarray(overlaps[i], np.float64)
+        ignored_gts[i] = np.ascontiguousarray(ignored_gts[i], np.int64)
+        ignored_dets[i] = np.ascontiguousarray(ignored_dets[i], np.int64)
+        if metric == 0 and len(dontcares[i]) > 0:
+            _dc_overlap_cache[i] = np.ascontiguousarray(image_box_overlap(
+                dt_datas_list[i][:, :4], dontcares[i], criterion=0),
+                np.float64)
+        else:
+            _dc_overlap_cache[i] = None
+    return True
+
+
 def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                min_overlaps, compute_aos=False, num_sample_pts=41):
     """AP over classes x difficulties x overlap settings."""
@@ -340,22 +375,38 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                         compute_fp=False)
                     thresholdss.append(th)
                 thresholdss = np.concatenate(thresholdss)
-                thresholds = np.asarray(
+                thresholds = np.ascontiguousarray(
                     get_thresholds(thresholdss, total_num_valid_gt,
-                                   num_sample_pts))
+                                   num_sample_pts), np.float64)
                 pr = np.zeros([len(thresholds), 4])
-                for i in range(len(gt_annos)):
-                    for t, thresh in enumerate(thresholds):
-                        tp, fp, fn, sim, _ = compute_statistics(
-                            overlaps[i], gt_datas_list[i], dt_datas_list[i],
-                            ignored_gts[i], ignored_dets[i], dontcares[i],
-                            metric, min_overlap=min_overlap, thresh=thresh,
-                            compute_fp=True, compute_aos=compute_aos)
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if sim != -1:
-                            pr[t, 3] += sim
+                if _prepare_native(gt_datas_list, dt_datas_list,
+                                   ignored_gts, ignored_dets, dontcares,
+                                   overlaps, metric):
+                    for i in range(len(gt_annos)):
+                        native_ops.kitti_eval_image_pr(
+                            overlaps[i], dt_datas_list[i][:, -1].astype(
+                                np.float64),
+                            np.ascontiguousarray(dt_datas_list[i][:, 4],
+                                                 np.float64),
+                            np.ascontiguousarray(gt_datas_list[i][:, 4],
+                                                 np.float64),
+                            ignored_gts[i], ignored_dets[i],
+                            _dc_overlap_cache[i], metric, min_overlap,
+                            thresholds, compute_aos, pr)
+                else:
+                    for i in range(len(gt_annos)):
+                        for t, thresh in enumerate(thresholds):
+                            tp, fp, fn, sim, _ = compute_statistics(
+                                overlaps[i], gt_datas_list[i],
+                                dt_datas_list[i], ignored_gts[i],
+                                ignored_dets[i], dontcares[i], metric,
+                                min_overlap=min_overlap, thresh=thresh,
+                                compute_fp=True, compute_aos=compute_aos)
+                            pr[t, 0] += tp
+                            pr[t, 1] += fp
+                            pr[t, 2] += fn
+                            if sim != -1:
+                                pr[t, 3] += sim
                 for t in range(len(thresholds)):
                     recall[m, ld, k, t] = pr[t, 0] / (pr[t, 0] + pr[t, 2])
                     precision[m, ld, k, t] = pr[t, 0] / (pr[t, 0] + pr[t, 1])

@@ -57,6 +57,16 @@ def _load():
     lib.points_in_boxes.argtypes = [f32p, ctypes.c_int64, f32p,
                                     ctypes.c_int64, i32p]
     lib.points_in_boxes.restype = None
+    lib.kitti_compute_statistics.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, f64p, f64p, f64p, i64p, i64p,
+        f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int32, ctypes.c_int32, f64p, f64p]
+    lib.kitti_compute_statistics.restype = ctypes.c_int64
+    lib.kitti_eval_image_pr.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, f64p, f64p, f64p, i64p, i64p,
+        f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_double, f64p,
+        ctypes.c_int64, ctypes.c_int32, f64p]
+    lib.kitti_eval_image_pr.restype = None
     _LIB = lib
     return _LIB
 
@@ -119,6 +129,51 @@ def points_in_boxes(points, boxes):
     out = np.empty(len(p), np.int32)
     _LIB.points_in_boxes(p, len(p), b, len(b), out)
     return out
+
+
+def kitti_eval_image_pr(overlaps, dt_scores, dt_alphas, gt_alphas,
+                        ignored_gt, ignored_det, dt_dc_overlap, metric,
+                        min_overlap, thresholds, compute_aos, pr):
+    """Accumulate the (n_thresh, 4) PR matrix for one image in one native
+    call. All array args must already be contiguous float64/int64."""
+    lib = _load()
+    det_size, gt_size = overlaps.shape
+    dc = dt_dc_overlap if dt_dc_overlap is not None \
+        else np.zeros((det_size, 0), np.float64)
+    lib.kitti_eval_image_pr(
+        overlaps, det_size, gt_size, dt_scores, dt_alphas, gt_alphas,
+        ignored_gt, ignored_det, dc, dc.shape[1], int(metric),
+        float(min_overlap), thresholds, len(thresholds), int(compute_aos),
+        pr)
+
+
+def kitti_compute_statistics(overlaps, dt_scores, dt_alphas, gt_alphas,
+                             ignored_gt, ignored_det, dt_dc_overlap, metric,
+                             min_overlap, thresh, compute_fp, compute_aos):
+    """Native fast path of the KITTI eval matching loop. Returns
+    (tp, fp, fn, similarity, thresholds). None if the library is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    det_size, gt_size = overlaps.shape
+    out = np.zeros(4, np.float64)
+    thresholds = np.zeros(max(gt_size, 1), np.float64)
+    overlaps = np.ascontiguousarray(overlaps, np.float64)
+    dc = np.ascontiguousarray(dt_dc_overlap, np.float64) \
+        if dt_dc_overlap is not None and dt_dc_overlap.size \
+        else np.zeros((det_size, 0), np.float64)
+    n = lib.kitti_compute_statistics(
+        overlaps, det_size, gt_size,
+        np.ascontiguousarray(dt_scores, np.float64),
+        np.ascontiguousarray(dt_alphas, np.float64),
+        np.ascontiguousarray(gt_alphas, np.float64),
+        np.ascontiguousarray(ignored_gt, np.int64),
+        np.ascontiguousarray(ignored_det, np.int64),
+        np.ascontiguousarray(dc), dc.shape[1], int(metric),
+        float(min_overlap), float(thresh), int(compute_fp),
+        int(compute_aos), out, thresholds)
+    return (int(out[0]), int(out[1]), int(out[2]), float(out[3]),
+            thresholds[:n])
 
 
 if __name__ == '__main__':
