@@ -1,0 +1,86 @@
+"""Voxel-query ROI pooling: selection semantics vs numpy brute force."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from virconv_tpu.models.roi_heads.voxel_pool import (
+    _window_offsets, build_row_table, voxel_query)
+from virconv_tpu.ops import sparse as sp
+
+
+def make_sparse(rng, spatial=(8, 20, 20), batch=2, n=120, cap=160):
+    d, h, w = spatial
+    seen, coords = set(), []
+    while len(coords) < n:
+        c = (rng.integers(batch), rng.integers(d), rng.integers(h),
+             rng.integers(w))
+        if c not in seen:
+            seen.add(c)
+            coords.append(c)
+    coords = np.array(coords, np.int32)
+    feats = rng.standard_normal((n, 8)).astype(np.float32)
+    coords = np.concatenate([coords, -np.ones((cap - n, 4), np.int32)])
+    feats = np.concatenate([feats, np.zeros((cap - n, 8), np.float32)])
+    mask = np.arange(cap) < n
+    st = sp.SparseTensor(feats=jnp.asarray(feats), coords=jnp.asarray(coords),
+                         mask=jnp.asarray(mask), spatial_shape=spatial,
+                         batch_size=batch)
+    return sp.sort_by_key(st)
+
+
+def test_voxel_query_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    spatial = (8, 20, 20)
+    vs = (0.2, 0.2, 0.2)
+    pcr = (0, -2, -0.8, 4, 2, 0.8)
+    stride = 1
+    st = make_sparse(rng, spatial)
+    table = build_row_table(st)
+
+    m = 40
+    qxyz = rng.uniform([0.2, -1.8, -0.6], [3.8, 1.8, 0.6],
+                       (m, 3)).astype(np.float32)
+    qb = rng.integers(0, 2, m).astype(np.int32)
+    cell = np.floor((qxyz - np.array(pcr[:3])) / np.array(vs)).astype(
+        np.int32)
+    qcoords = np.stack([qb, cell[:, 2], cell[:, 1], cell[:, 0]], -1)
+    qmask = np.ones(m, bool)
+    ranges, radius, nsample = (2, 2, 2), 0.45, 6
+
+    idx, valid, centers = jax.jit(
+        lambda s, t, x, c, mk: voxel_query(
+            s, t, x, c, mk, ranges, radius, nsample, vs, stride, pcr)
+    )(st, table, jnp.asarray(qxyz), jnp.asarray(qcoords),
+      jnp.asarray(qmask))
+    idx, valid, centers = map(np.asarray, (idx, valid, centers))
+
+    # numpy brute force in the same scan order
+    offs = _window_offsets(ranges, radius=radius, voxel_size=vs,
+                           stride=stride)
+    coords = np.asarray(st.coords)
+    mask = np.asarray(st.mask)
+    lut = {tuple(coords[i]): i for i in range(len(mask)) if mask[i]}
+    d, h, w = spatial
+    for q in range(m):
+        hits = []
+        for o in offs:
+            cz, cy, cx = qcoords[q, 1] + o[0], qcoords[q, 2] + o[1], \
+                qcoords[q, 3] + o[2]
+            if not (0 <= cz < d and 0 <= cy < h and 0 <= cx < w):
+                continue
+            row = lut.get((qb[q], cz, cy, cx))
+            if row is None:
+                continue
+            center = (np.array([cx, cy, cz]) + 0.5) * np.array(vs) \
+                + np.array(pcr[:3])
+            if np.sum((center - qxyz[q]) ** 2) < radius ** 2:
+                hits.append((row, center))
+            if len(hits) == nsample:
+                break
+        got_rows = idx[q][valid[q]]
+        want_rows = [hh[0] for hh in hits]
+        np.testing.assert_array_equal(got_rows, want_rows)
+        if hits:
+            np.testing.assert_allclose(
+                centers[q][valid[q]], np.stack([hh[1] for hh in hits]),
+                rtol=1e-5)

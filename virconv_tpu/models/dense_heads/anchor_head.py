@@ -307,6 +307,21 @@ class AnchorHeadSingle(nn.Module):
         dir_loss = -(dir_oh * logp).sum(-1) * dir_w
         dir_loss = dir_loss.sum() / b * loss_weights['dir_weight']
 
-        return cls_loss + loc_loss + dir_loss, {
-            'rpn_loss_cls': cls_loss, 'rpn_loss_loc': loc_loss,
-            'rpn_loss_dir': dir_loss}
+        total = cls_loss + loc_loss + dir_loss
+        tb = {'rpn_loss_cls': cls_loss, 'rpn_loss_loc': loc_loss,
+              'rpn_loss_dir': dir_loss}
+
+        # optional ODIoU rotated-IoU loss on positive anchors (OD_LOSS flag,
+        # off in shipped configs — anchor_head_template.py:296-318)
+        from ...config import CfgNode
+        if CfgNode(self.model_cfg).get('OD_LOSS', False):
+            from ...ops.odiou import odiou_3d_loss
+            decoded = self.coder.decode(out['box_preds'], anchors)
+            gt_dec = self.coder.decode(tgt['reg_targets'], anchors)
+            w = positives.astype(jnp.float32)
+            od = jax.vmap(lambda p, g, ww: (odiou_3d_loss(p, g) * ww).sum())(
+                decoded, gt_dec, w).sum()
+            od = 2.0 * od / (positives.sum() + 1)
+            total = total + od
+            tb['rpn_loss_od'] = od
+        return total, tb

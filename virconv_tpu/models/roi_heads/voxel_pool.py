@@ -101,9 +101,10 @@ def voxel_query(st: sp.SparseTensor, table, query_xyz, query_coords,
         rows = table[flat]                                    # (m, K)
         ok = ok & (rows >= 0)
         safe = jnp.maximum(rows, 0)
-        # voxel centers of candidates
-        czyx = st.coords[safe][:, :, 1:].astype(jnp.float32)  # (m, K, 3)
-        centers = (czyx[..., ::-1] + 0.5) * vs + mins
+        # candidate voxel centers come from the probed CELL itself — no
+        # coords gather needed (an occupied cell's stored coords equal the
+        # probed coords by construction)
+        centers = (neigh[..., ::-1].astype(jnp.float32) + 0.5) * vs + mins
         dist2 = jnp.sum((centers - cxyz[:, None, :]) ** 2, -1)
         ok = ok & (dist2 < radius * radius)
         # first nsample in window-scan order: rank valid hits by cumsum and
@@ -115,12 +116,16 @@ def voxel_query(st: sp.SparseTensor, table, query_xyz, query_coords,
         rows_sel = rows_sel.at[jnp.arange(mm_)[:, None], slot].set(safe)
         hit = jnp.zeros((mm_, nsample + 1), jnp.bool_)
         hit = hit.at[jnp.arange(mm_)[:, None], slot].set(ok)
-        return rows_sel[:, :nsample], hit[:, :nsample]
+        # selected candidate centers (for the position MLP), same slots
+        csel = jnp.zeros((mm_, nsample + 1, 3), jnp.float32)
+        csel = csel.at[jnp.arange(mm_)[:, None], slot].set(centers)
+        return rows_sel[:, :nsample], hit[:, :nsample], csel[:, :nsample]
 
-    idx, valid = jax.lax.map(one_chunk, (qx, qc, qm))
+    idx, valid, centers = jax.lax.map(one_chunk, (qx, qc, qm))
     idx = idx.reshape(-1, nsample)[:m]
     valid = valid.reshape(-1, nsample)[:m]
-    return idx, valid
+    centers = centers.reshape(-1, nsample, 3)[:m]
+    return idx, valid, centers
 
 
 class NeighborVoxelSAModule(nn.Module):
@@ -144,15 +149,11 @@ class NeighborVoxelSAModule(nn.Module):
                              name=f'mlp_in{g}')(st.feats)
             feats = MaskedBatchNorm(mid, name=f'mlp_in_bn{g}')(
                 feats, st.mask, train)
-            idx, valid = voxel_query(
+            idx, valid, centers = voxel_query(
                 st, table, query_xyz, query_coords, query_mask,
                 self.query_ranges[g], self.radii[g], self.nsamples[g],
                 self.voxel_size, stride, self.point_cloud_range)
             grouped = feats[idx] * valid[..., None]          # (M, S, mid)
-            czyx = st.coords[idx][..., 1:].astype(jnp.float32)
-            vs = jnp.asarray(self.voxel_size, jnp.float32) * stride
-            mins = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
-            centers = (czyx[..., ::-1] + 0.5) * vs + mins
             rel = (centers - query_xyz[:, None, :]) * valid[..., None]
             pos = nn.Dense(mid, use_bias=False, name=f'mlp_pos{g}')(rel)
             pos = MaskedBatchNorm(mid, name=f'mlp_pos_bn{g}')(
