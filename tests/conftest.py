@@ -6,13 +6,23 @@ persistent compilation cache is essential to keep reruns fast.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU: the suite targets the virtual 8-device CPU mesh; an inherited
+# JAX_PLATFORMS (e.g. the TPU tunnel) must not leak in.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
 import jax  # noqa: E402
+
+# The environment's sitecustomize registers the TPU-tunnel PJRT plugin and
+# pins the platform programmatically, which outranks JAX_PLATFORMS — so pin
+# it back via the config API and verify.
+jax.config.update('jax_platforms', 'cpu')
+assert jax.devices()[0].platform == 'cpu', (
+    'test suite must run on the virtual CPU mesh, got '
+    f'{jax.devices()[0].platform}')
 
 jax.config.update('jax_compilation_cache_dir',
                   os.path.join(os.path.dirname(__file__), '..',

@@ -210,7 +210,9 @@ class TestGreenOverlapDegenerate:
         b = jnp.asarray(random_boxes(rng, 40), jnp.float32)
         full = np.asarray(jb.boxes_overlap_bev(a, b))
         chunked = np.asarray(jb.boxes_overlap_bev(a, b, row_chunk=128))
-        np.testing.assert_allclose(full, chunked, atol=1e-5)
+        # chunked (lax.map) and full lowerings fuse elementwise chains in a
+        # different order -> a few x 1e-5 f32 noise on small overlaps
+        np.testing.assert_allclose(full, chunked, atol=3e-4)
 
 
 def test_green_matches_candidate_vertex():
@@ -226,3 +228,14 @@ def test_green_matches_candidate_vertex():
                           (None, None, 0, 0)), (0, 0, None, None))
     cand = np.asarray(f(ca, pa, cb, pb))
     np.testing.assert_allclose(green, cand, atol=1e-3)
+
+
+def test_overlap_lowering_has_no_dot():
+    """boxes_overlap_bev must stay elementwise: on TPU any dot/einsum in
+    the clip tests lowers to the MXU at default bf16 precision, whose
+    rounding breaks the exact parallel/on-boundary detection (identical
+    boxes then score IoU 1/3 instead of 1 and NMS stops suppressing
+    duplicates)."""
+    b = jnp.zeros((4, 7), jnp.float32)
+    hlo = jax.jit(jb.boxes_overlap_bev).lower(b, b).as_text()
+    assert ' dot(' not in hlo and 'dot_general' not in hlo

@@ -82,3 +82,38 @@ def test_state_dict_import_maps_backbone():
         'MaskedBatchNorm_0']['mean'].shape == (16,)
     assert p['dense_head']['conv_cls']['kernel'].shape == (1, 1, 256, 2)
     assert 'something.unknown.weight' in unmapped
+
+
+def test_mha_import_matches_torch():
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+    import torch
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    torch.manual_seed(3)
+    e, h, s, b = 32, 4, 5, 3
+    att = torch.nn.MultiheadAttention(e, h)
+    sd = {f'roi_head.cross_attention_layers.0.att.{k}': v.detach().numpy()
+          for k, v in att.state_dict().items()}
+    variables, unmapped = ti.import_state_dict(sd, report_unmapped=False,
+                                               mha_heads=h)
+    assert not unmapped
+    mha_params = variables['params']['roi_head']['cross_attn']['mha']
+    assert mha_params['query']['kernel'].shape == (e, h, e // h)
+    assert mha_params['out']['kernel'].shape == (h, e // h, e)
+
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal((s, b, e)).astype(np.float32)
+    k = rng.standard_normal((s, b, e)).astype(np.float32)
+    v = rng.standard_normal((s, b, e)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = att(torch.from_numpy(q), torch.from_numpy(k),
+                      torch.from_numpy(v))
+    flax_mha = nn.MultiHeadDotProductAttention(
+        num_heads=h, qkv_features=e, out_features=e)
+    got = flax_mha.apply(
+        {'params': mha_params},
+        jnp.asarray(q.transpose(1, 0, 2)), jnp.asarray(k.transpose(1, 0, 2)),
+        jnp.asarray(v.transpose(1, 0, 2)))
+    np.testing.assert_allclose(np.asarray(got.transpose(1, 0, 2)),
+                               want.numpy(), atol=2e-5)

@@ -110,7 +110,12 @@ class VoxelRCNN(nn.Module):
         d, h, w = st.spatial_shape
         return st.replace(spatial_shape=(d + 1, h, w))
 
-    def __call__(self, batch: Dict[str, Any], train: bool = False):
+    def __call__(self, batch: Dict[str, Any], train: bool = False,
+                 stage: str | None = None):
+        """Full detector forward. ``stage`` ('voxelize'/'backbone'/'bev'/
+        'rpn') returns a scalar probe right after that stage — XLA dead-code
+        eliminates everything downstream, giving exact prefix timings for
+        stage attribution (tools/profile_stages.py)."""
         from ...config import CfgNode
         mcfg = CfgNode(self.model_cfg)
         points = batch['points']
@@ -125,6 +130,14 @@ class VoxelRCNN(nn.Module):
                             indicator_max=(vfe_model == 'max'))
 
         trans_params = batch.get('trans_params')
+        if stage == 'voxelize':
+            probe = st.feats.sum()
+            if self.is_mm:
+                st_mm = self._voxelize(batch['points_mm'],
+                                       batch['points_mm_valid'], n_entries,
+                                       mode, indicator_max=False)
+                probe = probe + st_mm.feats.sum()
+            return {'probe': probe}
         if self.is_mm:
             st_mm = self._voxelize(batch['points_mm'],
                                    batch['points_mm_valid'], n_entries, mode,
@@ -138,6 +151,13 @@ class VoxelRCNN(nn.Module):
             feats_mm = bb_out['multi_scale_3d_features']
         feats_lidar = bb_out['multi_scale_3d_features']
         strides = bb_out['multi_scale_3d_strides']
+        if stage == 'backbone':
+            return {'probe':
+                    bb_out['encoded_spconv_tensor'].feats.sum()
+                    + feats_lidar['x_conv3'].feats.sum()
+                    + feats_lidar['x_conv4'].feats.sum()
+                    + feats_mm['x_conv3'].feats.sum()
+                    + feats_mm['x_conv4'].feats.sum()}
 
         # BEV path uses replica 0 only (reference: suffix-less keys).
         # Select replica-0 rows in sparse form before densifying.
@@ -151,6 +171,8 @@ class VoxelRCNN(nn.Module):
                 mask=keep, batch_size=b)
         bev = height_compression(enc)
         bev_feats = self.bev_backbone(bev, train)
+        if stage == 'bev':
+            return {'probe': bev_feats.sum()}
 
         # anchor mask source: replica-0 points of the whole batch
         pts0 = points.reshape(b, n_rep, *points.shape[1:])[:, 0]
@@ -164,6 +186,17 @@ class VoxelRCNN(nn.Module):
                                   gt_boxes=batch.get('gt_boxes'),
                                   gt_valid=batch.get('gt_valid'), train=train)
 
+        if stage == 'rpn':
+            return {'probe': rpn_out['rois'].sum()
+                    + rpn_out['roi_scores'].sum()}
+        if stage is not None and stage.startswith(('pool', 'stage')):
+            return self.roi_head(
+                feats_lidar, feats_mm, strides,
+                {'rois': rpn_out['rois'], 'roi_scores': rpn_out['roi_scores'],
+                 'roi_labels': rpn_out['roi_labels'],
+                 'roi_valid': rpn_out['roi_valid']},
+                bev_feats, tp, batch.get('gt_boxes'), batch.get('gt_valid'),
+                train, probe_stage=stage)
         roi_out = self.roi_head(
             feats_lidar, feats_mm, strides,
             {'rois': rpn_out['rois'], 'roi_scores': rpn_out['roi_scores'],

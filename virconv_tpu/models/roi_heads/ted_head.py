@@ -263,7 +263,7 @@ class TEDMHead(nn.Module):
 
     def __call__(self, feats_lidar, feats_mm, strides, proposals, bev_feats,
                  transform_params, gt_boxes, gt_valid, train: bool,
-                 rngs_unused=None):
+                 rngs_unused=None, probe_stage=None):
         """
         Args:
             feats_lidar / feats_mm: dicts of SparseTensors (multi-scale, batch
@@ -338,6 +338,8 @@ class TEDMHead(nn.Module):
             pooled_mm, _ = self._roi_grid_pool(
                 self.pool_mm, CfgNode(self.model_cfg).ROI_GRID_POOL_MM, feats_mm,
                 strides, rois, roi_valid, entry, train)
+            if probe_stage == f'pool{i}':   # timing probe (profile_stages)
+                return {'probe': pooled.sum() + pooled_mm.sum()}
 
             shared = self.shared_fc(pooled, pmask, train)[None]     # (1,BN,C)
             hist.append(shared)
@@ -385,6 +387,8 @@ class TEDMHead(nn.Module):
                     'rcnn_cls_p': rcnn_cls_p, 'rcnn_reg_p': rcnn_reg_p,
                 })
 
+            if probe_stage == f'stage{i}':   # timing probe (profile_stages)
+                return {'probe': boxes.sum() + scores.sum()}
             rois = boxes
             roi_scores = scores.squeeze(-1)
 

@@ -30,7 +30,10 @@ def rotate_points_along_z(points, angle):
     rot = jnp.stack([cosa, sina, zeros,
                      -sina, cosa, zeros,
                      zeros, zeros, ones], axis=1).reshape(-1, 3, 3)
-    xyz = jnp.einsum('bnc,bcd->bnd', points[..., 0:3], rot)
+    # HIGHEST: feeds binary point-in-box tests; default TPU matmul
+    # precision (bf16) shifts points by ~1e-3.
+    xyz = jnp.einsum('bnc,bcd->bnd', points[..., 0:3], rot,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate([xyz, points[..., 3:]], axis=-1)
 
 
@@ -148,7 +151,10 @@ def _rect_halfplanes(boxes):
     n2 = jnp.stack([-sina, cosa], -1)
     normals = jnp.stack([n1, -n1, n2, -n2], axis=1)            # (N, 4, 2)
     center = boxes[:, 0:2]
-    proj = jnp.einsum('nkc,nc->nk', normals, center)
+    # elementwise 2-term dot (NOT einsum: on TPU einsum lowers to the MXU
+    # at default bf16 precision, whose ~1e-3 rounding breaks the exact
+    # parallel-plane tests in _clipped_edge_integrals)
+    proj = (normals * center[:, None, :]).sum(-1)
     half = jnp.stack([boxes[:, 3] / 2, boxes[:, 3] / 2,
                       boxes[:, 4] / 2, boxes[:, 4] / 2], -1)
     return normals, proj + half
@@ -169,16 +175,28 @@ def _clipped_edge_integrals(corners, normals, offsets, coincide_tol=1e-4):
     u = corners                                 # (..., 4, 2)
     v = jnp.roll(corners, -1, axis=-2)
     d = v - u
-    # constraints: n . (u + t d) <= c  for each of 4 planes
-    nu = jnp.einsum('...pc,...ec->...ep', normals, u)    # (..., 4edge, 4pl)
-    nd = jnp.einsum('...pc,...ec->...ep', normals, d)
+    # constraints: n . (u + t d) <= c  for each of 4 planes. Elementwise
+    # 2-term dots (not einsum): MXU bf16 rounding would defeat the exact
+    # parallel / on-boundary detection below.
+    npl = normals[..., None, :, :]                        # (..., 1, 4pl, 2)
+    nu = (npl * u[..., :, None, :]).sum(-1)               # (..., 4edge, 4pl)
+    nd = (npl * d[..., :, None, :]).sum(-1)
     c = offsets[..., None, :]                             # (..., 1, 4)
-    denom = jnp.where(jnp.abs(nd) < EPS, EPS, nd)
+    # Parallel threshold: nd = n.(v-u) for a truly parallel edge is only
+    # zero up to f32 rounding of the corner/trig products — ~1e-5 at KITTI
+    # coordinate scale (|coords| ~ 80 m). 1e-4 absorbs that with margin; a
+    # genuinely non-parallel edge has |nd| = L * sin(dtheta), so only
+    # near-parallel pairs (dtheta < ~3e-4 rad) are reclassified, for which
+    # the unconstrained-feasibility approximation is the right answer
+    # anyway. (An earlier 1e-8 threshold made TPU clip intervals divide by
+    # rounding noise, producing overlaps > area for arbitrary headings.)
+    par_eps = 1e-4
+    denom = jnp.where(jnp.abs(nd) < par_eps, par_eps, nd)
     t_hit = (c - nu) / denom
     # nd > 0: upper bound; nd < 0: lower bound; nd == 0: feasible iff nu <= c
-    t_lo = jnp.where(nd < -EPS, t_hit, 0.0).max(axis=-1)
-    t_hi = jnp.where(nd > EPS, t_hit, 1.0).min(axis=-1)
-    parallel = jnp.abs(nd) <= EPS
+    t_lo = jnp.where(nd < -par_eps, t_hit, 0.0).max(axis=-1)
+    t_hi = jnp.where(nd > par_eps, t_hit, 1.0).min(axis=-1)
+    parallel = jnp.abs(nd) <= par_eps
     infeasible = (parallel & (nu > c + coincide_tol)).any(axis=-1)
     on_boundary = (parallel & (jnp.abs(nu - c) <= coincide_tol)).any(axis=-1)
     t0 = jnp.clip(t_lo, 0.0, 1.0)
@@ -197,9 +215,10 @@ def boxes_overlap_bev(boxes_a, boxes_b, row_chunk: int | None = None):
     area(A ^ B) = 1/2 |closed boundary integral|; the boundary tiles into
     A's edges clipped to B plus B's edges clipped to A (Liang-Barsky clips,
     no per-pair sort or scatter — pure elementwise work, ~1000x faster on
-    TPU than the candidate-vertex algorithm). B's clip region is shrunk by
-    an epsilon so exactly-coincident boundaries are not double-counted.
-    ``row_chunk`` bounds transient memory for very large N*M.
+    TPU than the candidate-vertex algorithm). Edges coincident with a clip
+    boundary are half-weighted so degenerate configurations (identical or
+    abutting boxes) stay exact. ``row_chunk`` bounds transient memory for
+    very large N*M.
     """
     ca = boxes_to_corners_bev(boxes_a)
     cb = boxes_to_corners_bev(boxes_b)

@@ -123,17 +123,21 @@ def identity_calib(fu=720.0, fv=720.0, cu=600.0, cv=180.0):
 def project_lidar_to_img_jax(xyz, v2r, p2t):
     """Batched device projection. xyz (N, 3), v2r (N, 4, 3) or (4, 3), p2t
     likewise. Returns (uv (N, 2), depth (N,))."""
+    import jax
     import jax.numpy as jnp
+    # HIGHEST: outputs are floored to pixel-grid coords; TPU default bf16
+    # matmul precision would shift projections by multiple pixels.
+    hi = jax.lax.Precision.HIGHEST
     hom = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], axis=-1)
     if v2r.ndim == 2:
-        rect = hom @ v2r
+        rect = jnp.matmul(hom, v2r, precision=hi)
     else:
-        rect = jnp.einsum('ni,nij->nj', hom, v2r)
+        rect = jnp.einsum('ni,nij->nj', hom, v2r, precision=hi)
     rect_hom = jnp.concatenate([rect, jnp.ones_like(rect[:, :1])], axis=-1)
     if p2t.ndim == 2:
-        img = rect_hom @ p2t
+        img = jnp.matmul(rect_hom, p2t, precision=hi)
     else:
-        img = jnp.einsum('ni,nij->nj', rect_hom, p2t)
+        img = jnp.einsum('ni,nij->nj', rect_hom, p2t, precision=hi)
     z = jnp.where(jnp.abs(rect[:, 2]) < 1e-6, 1e-6, rect[:, 2])
     uv = img[:, 0:2] / z[:, None]
     if p2t.ndim == 2:

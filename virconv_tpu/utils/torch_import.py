@@ -68,7 +68,7 @@ def _set(tree: Dict, path: Tuple[str, ...], value):
     d[path[-1]] = np.asarray(value)
 
 
-def import_state_dict(state_dict, report_unmapped=True):
+def import_state_dict(state_dict, report_unmapped=True, mha_heads=4):
     """Convert a reference VirConv torch state_dict into flax-style
     {'params': ..., 'batch_stats': ...} trees (numpy leaves).
 
@@ -108,6 +108,30 @@ def import_state_dict(state_dict, report_unmapped=True):
                  linear_to_flax(val.reshape(val.shape[0], val.shape[1])))
         elif kind == 'bias':
             _set(params, flax_path + ('bias',), val)
+        elif kind == 'mha_in_proj_w':
+            # torch nn.MultiheadAttention in_proj_weight (3E, E), rows
+            # stacked [Wq; Wk; Wv]; torch computes x @ W.T, so the flax
+            # DenseGeneral kernel is W.T reshaped (E, H, E/H).
+            e = val.shape[1]
+            hd = e // mha_heads
+            for name, w in zip(('query', 'key', 'value'),
+                               (val[:e], val[e:2 * e], val[2 * e:])):
+                _set(params, flax_path + (name, 'kernel'),
+                     np.ascontiguousarray(w.T.reshape(e, mha_heads, hd)))
+        elif kind == 'mha_in_proj_b':
+            e = val.shape[0] // 3
+            hd = e // mha_heads
+            for name, b in zip(('query', 'key', 'value'),
+                               (val[:e], val[e:2 * e], val[2 * e:])):
+                _set(params, flax_path + (name, 'bias'),
+                     np.ascontiguousarray(b.reshape(mha_heads, hd)))
+        elif kind == 'mha_out_w':
+            # out_proj.weight (E, E): concat_heads @ W.T -> kernel
+            # W.T reshaped (H, hd, E) for DenseGeneral(axis=(-2, -1)).
+            e = val.shape[0]
+            hd = val.shape[1] // mha_heads
+            _set(params, flax_path + ('kernel',),
+                 np.ascontiguousarray(val.T.reshape(mha_heads, hd, e)))
         elif kind == 'bn_weight':
             _set(params, flax_path + ('scale',), val)
         elif kind == 'bn_bias':
@@ -279,13 +303,22 @@ def translate_path(key: str):
                     return ('bias', ours + ('out',))
             return None
         if fam in ('cross_attention_layers', 'cross_attention_layers_mm'):
-            ours = ('roi_head', 'cross_attn' if fam.endswith('layers')
+            ours = ('roi_head', 'cross_attn' if fam == 'cross_attention_layers'
                     else 'cross_attn_mm')
             m = {'Q_linear': 'q', 'K_linear': 'k', 'V_linear': 'v'}.get(
                 parts[3])
             if m and leaf == 'weight':
                 return ('linear', ours + (m,))
-            return None   # torch MHA in/out proj handled separately
+            if parts[3] == 'att':
+                if key.endswith('att.in_proj_weight'):
+                    return ('mha_in_proj_w', ours + ('mha',))
+                if key.endswith('att.in_proj_bias'):
+                    return ('mha_in_proj_b', ours + ('mha',))
+                if key.endswith('att.out_proj.weight'):
+                    return ('mha_out_w', ours + ('mha', 'out'))
+                if key.endswith('att.out_proj.bias'):
+                    return ('bias', ours + ('mha', 'out'))
+            return None
         if fam == 'conv_part':
             j = int(parts[2])
             if j == 0 and leaf == 'weight':
