@@ -29,10 +29,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops import dense3d as d3d
 from ...ops import sparse as sp
 from ...utils import transforms as tr
 from ...utils.calibration import project_lidar_to_img_jax
-from ..layers import MaskedBatchNorm, SparseDownBlock, SubMConvBlock
+from ..layers import (DenseDown3DBlock, DenseSubM3DBlock, MaskedBatchNorm,
+                      SparseDownBlock, SubMConvBlock)
 
 IMG_GRID = (1600, 600)   # 2D sparse grid of the image plane (u, v)
 
@@ -138,6 +140,11 @@ class LidarStack(nn.Module):
     num_filters: Tuple[int, ...] = (16, 32, 64, 64)
     out_features: int = 64
     cap_ratios: Tuple[float, ...] = (1.0, 0.6, 0.35)   # conv2/3/4
+    # strides >= 4 as dense MXU convs: measured SLOWER at eval row counts
+    # (grid materialization + f32 conv + BN reshapes ~0.2s vs ~0.06s of
+    # gathers at 43-72k rows) — the coarse lidar scales are gather-cheap.
+    # Kept for large-batch training where the dense cost amortizes.
+    dense_tail: bool = False
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, train: bool):
@@ -152,6 +159,31 @@ class LidarStack(nn.Module):
         nmap2 = sp.build_subm_neighbor_map(x2, 3)
         x2 = SubMConvBlock(nf[1], name='conv2_a')(x2, nmap2, train)
         x2 = SubMConvBlock(nf[1], name='conv2_b')(x2, nmap2, train)
+
+        if self.dense_tail:
+            # Coarse scales (stride >= 4) fit HBM densely; submanifold ==
+            # dense conv + mask, so the gather-convs become MXU convs
+            # (docs/DESIGN.md S3). Param paths match the sparse blocks, so
+            # checkpoints interchange. conv3_down stays sparse: its stride-2
+            # dense input would be a 22.5M-cell (multi-GB) grid.
+            x3_sp = SparseDownBlock(
+                nf[2], out_capacity=_cap(n0, self.cap_ratios[1]),
+                name='conv3_down')(x2, train)
+            g3 = d3d.grid_from_sparse(x3_sp)
+            g3 = DenseSubM3DBlock(nf[2], name='conv3_a')(g3, train)
+            g3 = DenseSubM3DBlock(nf[2], name='conv3_b')(g3, train)
+            g4 = DenseDown3DBlock(nf[3], padding=(0, 1, 1),
+                                  name='conv4_down')(g3, train)
+            g4 = DenseSubM3DBlock(nf[3], name='conv4_a')(g4, train)
+            g4 = DenseSubM3DBlock(nf[3], name='conv4_b')(g4, train)
+            gout = DenseDown3DBlock(self.out_features, kernel_size=(3, 1, 1),
+                                    stride=(2, 1, 1), padding=(0, 0, 0),
+                                    name='conv_out')(g4, train)
+            x3 = d3d.grid_to_sparse(g3, _cap(n0, self.cap_ratios[1]))
+            x4 = d3d.grid_to_sparse(g4, _cap(n0, self.cap_ratios[2]))
+            out = d3d.grid_to_sparse(gout, _cap(n0, self.cap_ratios[2]))
+            return {'x_conv1': x1, 'x_conv2': x2, 'x_conv3': x3,
+                    'x_conv4': x4, 'out': out}
 
         x3 = SparseDownBlock(nf[2], out_capacity=_cap(n0, self.cap_ratios[1]),
                              name='conv3_down')(x2, train)

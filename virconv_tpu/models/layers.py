@@ -121,3 +121,72 @@ class DenseConvBlock(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3)(x)
         return nn.relu(x)
+
+
+class DenseSubM3DBlock(nn.Module):
+    """Submanifold conv on a DenseGrid: dense MXU conv + output mask + masked
+    BN + ReLU. Exactly equivalent to SubMConvBlock (inputs are zero off the
+    active set; outputs are masked back to it) but runs at dense-conv rates
+    at the coarse scales. Kernel stored in gathered layout (K, in, out) so
+    checkpoints interchange with the sparse blocks."""
+
+    out_channels: int
+    kernel_size: Tuple[int, ...] = (3, 3, 3)
+    use_bn: bool = True
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, grid, train: bool):
+        from ..ops import dense3d as d3
+        k = 1
+        for s in self.kernel_size:
+            k *= s
+        w = self.param('kernel',
+                       nn.initializers.variance_scaling(
+                           1.0, 'fan_in', 'normal'),
+                       (k, grid.num_channels, self.out_channels))
+        x = d3.dense_conv3d(grid.feats, w, self.kernel_size)
+        b, dd, hh, ww, c = x.shape
+        flat_mask = grid.mask.reshape(-1)
+        feats = x.reshape(-1, c)
+        if self.use_bn:
+            feats = MaskedBatchNorm(self.out_channels)(
+                feats, flat_mask, train)
+        else:
+            feats = jnp.where(flat_mask[:, None], feats, 0.0)
+        if self.use_relu:
+            feats = nn.relu(feats)
+        return grid.replace(feats=feats.reshape(b, dd, hh, ww, c))
+
+
+class DenseDown3DBlock(nn.Module):
+    """Strided sparse conv on a DenseGrid: dense strided conv; output sites
+    = max-pool of the input mask (spconv SparseConv3d's active-output
+    rule); masked BN + ReLU."""
+
+    out_channels: int
+    kernel_size: Tuple[int, ...] = (3, 3, 3)
+    stride: Tuple[int, ...] = (2, 2, 2)
+    padding: Tuple[int, ...] = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, grid, train: bool):
+        from ..ops import dense3d as d3
+        k = 1
+        for s in self.kernel_size:
+            k *= s
+        w = self.param('kernel',
+                       nn.initializers.variance_scaling(
+                           1.0, 'fan_in', 'normal'),
+                       (k, grid.num_channels, self.out_channels))
+        pads = [(p, p) for p in self.padding]
+        x = d3.dense_conv3d(grid.feats, w, self.kernel_size,
+                            stride=self.stride, padding=pads)
+        mask = d3.down_mask(grid.mask, self.kernel_size, self.stride,
+                            self.padding)
+        b, dd, hh, ww, c = x.shape
+        feats = MaskedBatchNorm(self.out_channels)(
+            x.reshape(-1, c), mask.reshape(-1), train)
+        feats = nn.relu(feats)
+        return d3.DenseGrid(feats=feats.reshape(b, dd, hh, ww, c),
+                            mask=mask)

@@ -47,85 +47,104 @@ def _window_offsets(ranges: Sequence[int], radius=None, voxel_size=None,
     offs = np.stack([zz, yy, xx], -1).reshape(-1, 3).astype(np.int32)
     if radius is not None and voxel_size is not None:
         vs = np.asarray(voxel_size, np.float64)[::-1] * stride   # z, y, x
-        # min distance between any point of the center cell and any point of
-        # the offset cell: (|o| - 1) * vs per axis, clamped at 0
-        gap = np.clip(np.abs(offs) - 1, 0, None) * vs[None]
+        # the runtime test is query-point -> candidate-CENTER distance; the
+        # query lies somewhere in the center cell, so the minimum possible
+        # distance to an offset cell's center is (|o| - 0.5) * vs per axis
+        gap = np.clip(np.abs(offs) - 0.5, 0, None) * vs[None]
         min_dist = np.linalg.norm(gap, axis=1)
         offs = offs[min_dist < radius]
     return offs
 
 
-def voxel_query(st: sp.SparseTensor, table, query_xyz, query_coords,
-                query_mask, ranges, radius, nsample, voxel_size, stride,
-                point_cloud_range, chunks: int = 8):
-    """Find up to ``nsample`` voxel rows within ``radius`` of each query.
+def _select_first(ok, safe_rows, centers, nsample):
+    """First ``nsample`` valid candidates in window-scan order, scatter-free:
+    key = K - j for valid scan index j (monotone decreasing), -1 - j
+    otherwise; top_k's descending keys == the first valid hits in order.
+    ((m, K) scatters measured ~1 s/stage on the chip; top_k is a few
+    passes.)"""
+    k = ok.shape[1]
+    j = jnp.arange(k, dtype=jnp.int32)
+    key = jnp.where(ok, k - j, -1 - j)
+    topkey, topidx = jax.lax.top_k(key, nsample)              # (m, nsample)
+    hit = topkey > 0
+    rows_sel = jnp.take_along_axis(safe_rows, topidx, axis=1)
+    rows_sel = jnp.where(hit, rows_sel, 0)
+    csel = jnp.take_along_axis(centers, topidx[..., None], axis=1)
+    csel = jnp.where(hit[..., None], csel, 0.0)
+    return rows_sel, hit, csel
+
+
+def voxel_query_groups(st: sp.SparseTensor, table, query_xyz, query_coords,
+                       query_mask, group_specs, voxel_size, stride,
+                       point_cloud_range):
+    """Multi-group voxel query sharing ONE window probe.
+
+    The groups' windows nest (each box contains the previous), so the union
+    window is the last group's; candidate rows/centers/distances are probed
+    once and each group selects its first ``nsample`` in-radius hits from
+    the shared candidates. Subsetting a z-major enumeration preserves
+    z-major order, so per-group scan order matches probing each window
+    separately (the reference kernel's semantics).
 
     Args:
-        st: sparse feature tensor at this scale (coords [b, z, y, x]).
-        table: dense lookup from build_row_table(st).
-        query_xyz: (M, 3) grid point coordinates (world frame).
-        query_coords: (M, 4) int32 [b, z, y, x] voxel coords of the queries.
-        query_mask: (M,) validity.
-    Returns:
-        idx: (M, nsample) int32 rows into st (0 where invalid),
-        valid: (M, nsample) bool.
+        group_specs: tuple of (ranges, radius, nsample).
+    Returns list of (idx (M, ns) int32, valid (M, ns) bool,
+    centers (M, ns, 3)) per group.
     """
-    offs = jnp.asarray(_window_offsets(ranges, radius=radius,
-                                       voxel_size=voxel_size,
-                                       stride=stride))       # (K, 3)
-    k = offs.shape[0]
+    union_ranges, union_radius = group_specs[-1][0], group_specs[-1][1]
+    for rg, rad, _ in group_specs:
+        assert all(a <= b for a, b in zip(rg, union_ranges)), \
+            'group windows must nest'
+        assert rad <= union_radius, 'group radii must nest'
+    offs_np = _window_offsets(union_ranges, radius=union_radius,
+                              voxel_size=voxel_size, stride=stride)
+    offs = jnp.asarray(offs_np)                               # (K, 3)
+    # static membership of each union offset in each group's own window
+    members = []
+    for rg, rad, _ in group_specs:
+        import numpy as np
+        box = (abs(offs_np[:, 0]) <= rg[0]) & \
+              (abs(offs_np[:, 1]) <= rg[1]) & (abs(offs_np[:, 2]) <= rg[2])
+        members.append(jnp.asarray(box))
     d, h, w = st.spatial_shape
     vs = jnp.asarray(voxel_size, jnp.float32) * stride
     mins = jnp.asarray(point_cloud_range[:3], jnp.float32)
-    m = query_xyz.shape[0]
-    # Only chunk when the candidate buffer would be large; sequential
-    # lax.map chunks underutilize the chip for the typical eval sizes.
-    if m * k <= 16_000_000:
-        chunks = 1
-    csize = -(-m // chunks)
-    pad = csize * chunks - m
-    qx = jnp.pad(query_xyz, ((0, pad), (0, 0))).reshape(chunks, csize, 3)
-    qc = jnp.pad(query_coords, ((0, pad), (0, 0))).reshape(chunks, csize, 4)
-    qm = jnp.pad(query_mask, (0, pad)).reshape(chunks, csize)
 
-    def one_chunk(args):
-        cxyz, ccoords, cmask = args
-        neigh = ccoords[:, None, 1:] + offs[None]            # (m, K, 3)
-        ok = cmask[:, None]
-        ok = ok & (neigh[:, :, 0] >= 0) & (neigh[:, :, 0] < d)
-        ok = ok & (neigh[:, :, 1] >= 0) & (neigh[:, :, 1] < h)
-        ok = ok & (neigh[:, :, 2] >= 0) & (neigh[:, :, 2] < w)
-        flat = ((ccoords[:, None, 0] * d + neigh[:, :, 0]) * h
-                + neigh[:, :, 1]) * w + neigh[:, :, 2]
-        flat = jnp.where(ok, flat, 0)
-        rows = table[flat]                                    # (m, K)
-        ok = ok & (rows >= 0)
-        safe = jnp.maximum(rows, 0)
-        # candidate voxel centers come from the probed CELL itself — no
-        # coords gather needed (an occupied cell's stored coords equal the
-        # probed coords by construction)
-        centers = (neigh[..., ::-1].astype(jnp.float32) + 0.5) * vs + mins
-        dist2 = jnp.sum((centers - cxyz[:, None, :]) ** 2, -1)
-        ok = ok & (dist2 < radius * radius)
-        # first nsample in window-scan order: rank valid hits by cumsum and
-        # scatter into their slot (cheaper than top_k over the K window)
-        mm_ = ok.shape[0]
-        rank = jnp.cumsum(ok.astype(jnp.int32), axis=1)
-        slot = jnp.where(ok & (rank <= nsample), rank - 1, nsample)
-        rows_sel = jnp.zeros((mm_, nsample + 1), jnp.int32)
-        rows_sel = rows_sel.at[jnp.arange(mm_)[:, None], slot].set(safe)
-        hit = jnp.zeros((mm_, nsample + 1), jnp.bool_)
-        hit = hit.at[jnp.arange(mm_)[:, None], slot].set(ok)
-        # selected candidate centers (for the position MLP), same slots
-        csel = jnp.zeros((mm_, nsample + 1, 3), jnp.float32)
-        csel = csel.at[jnp.arange(mm_)[:, None], slot].set(centers)
-        return rows_sel[:, :nsample], hit[:, :nsample], csel[:, :nsample]
+    neigh = query_coords[:, None, 1:] + offs[None]            # (M, K, 3)
+    ok = query_mask[:, None]
+    ok = ok & (neigh[:, :, 0] >= 0) & (neigh[:, :, 0] < d)
+    ok = ok & (neigh[:, :, 1] >= 0) & (neigh[:, :, 1] < h)
+    ok = ok & (neigh[:, :, 2] >= 0) & (neigh[:, :, 2] < w)
+    flat = ((query_coords[:, None, 0] * d + neigh[:, :, 0]) * h
+            + neigh[:, :, 1]) * w + neigh[:, :, 2]
+    flat = jnp.where(ok, flat, 0)
+    rows = table[flat]                                        # (M, K)
+    ok = ok & (rows >= 0)
+    safe = jnp.maximum(rows, 0)
+    # candidate voxel centers come from the probed CELL itself — no coords
+    # gather needed (an occupied cell's stored coords equal the probed
+    # coords by construction)
+    centers = (neigh[..., ::-1].astype(jnp.float32) + 0.5) * vs + mins
+    dist2 = jnp.sum((centers - query_xyz[:, None, :]) ** 2, -1)
 
-    idx, valid, centers = jax.lax.map(one_chunk, (qx, qc, qm))
-    idx = idx.reshape(-1, nsample)[:m]
-    valid = valid.reshape(-1, nsample)[:m]
-    centers = centers.reshape(-1, nsample, 3)[:m]
-    return idx, valid, centers
+    results = []
+    for (rg, rad, nsample), member in zip(group_specs, members):
+        ok_g = ok & member[None] & (dist2 < rad * rad)
+        results.append(_select_first(ok_g, safe, centers, nsample))
+    return results
+
+
+def voxel_query(st: sp.SparseTensor, table, query_xyz, query_coords,
+                query_mask, ranges, radius, nsample, voxel_size, stride,
+                point_cloud_range, chunks: int = 8):
+    """Single-group voxel query (see voxel_query_groups).
+
+    Returns (idx (M, nsample) int32 rows into st (0 where invalid),
+    valid (M, nsample) bool, centers (M, nsample, 3))."""
+    return voxel_query_groups(
+        st, table, query_xyz, query_coords, query_mask,
+        ((tuple(ranges), radius, nsample),), voxel_size, stride,
+        point_cloud_range)[0]
 
 
 class NeighborVoxelSAModule(nn.Module):
@@ -142,6 +161,12 @@ class NeighborVoxelSAModule(nn.Module):
     def __call__(self, st: sp.SparseTensor, stride, query_xyz, query_coords,
                  query_mask, train: bool):
         table = build_row_table(st)
+        specs = tuple((tuple(self.query_ranges[g]), self.radii[g],
+                       self.nsamples[g])
+                      for g in range(len(self.query_ranges)))
+        queries = voxel_query_groups(
+            st, table, query_xyz, query_coords, query_mask, specs,
+            self.voxel_size, stride, self.point_cloud_range)
         outs = []
         for g in range(len(self.query_ranges)):
             mid, out_c = self.mlps[g]
@@ -149,10 +174,7 @@ class NeighborVoxelSAModule(nn.Module):
                              name=f'mlp_in{g}')(st.feats)
             feats = MaskedBatchNorm(mid, name=f'mlp_in_bn{g}')(
                 feats, st.mask, train)
-            idx, valid, centers = voxel_query(
-                st, table, query_xyz, query_coords, query_mask,
-                self.query_ranges[g], self.radii[g], self.nsamples[g],
-                self.voxel_size, stride, self.point_cloud_range)
+            idx, valid, centers = queries[g]
             grouped = feats[idx] * valid[..., None]          # (M, S, mid)
             rel = (centers - query_xyz[:, None, :]) * valid[..., None]
             pos = nn.Dense(mid, use_bias=False, name=f'mlp_pos{g}')(rel)
