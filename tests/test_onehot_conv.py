@@ -25,23 +25,23 @@ def test_matches_gathered_conv():
         jnp.asarray(mask)))
     got, misses = onehot_gather_conv(
         jnp.asarray(feats), jnp.asarray(nmap), jnp.asarray(w),
-        tile=128, window=256, bf16=False, interpret=True)
+        tile=128, block=256, bf16=False, interpret=True)
     assert int(np.asarray(misses).sum()) == 0
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
 
 def test_miss_counting():
     rng = np.random.default_rng(1)
-    n, c, cout, k = 256, 8, 8, 3
+    n, c, cout, k = 512, 8, 8, 3
     feats = rng.standard_normal((n, c)).astype(np.float32)
     nmap = np.full((n, k), -1, np.int32)
     nmap[:, 0] = np.arange(n)
-    # same tile, same offset column: rows 0 and 255 spread wider than the
-    # window -> exactly one of them must be dropped and counted
+    # same tile, same offset column: rows 0 and 511 spread wider than the
+    # two-block window (256) -> the far one must be dropped and counted
     nmap[0, 1] = 0
     nmap[1, 1] = n - 1
     w = rng.standard_normal((k, c, cout)).astype(np.float32)
     got, misses = onehot_gather_conv(
         jnp.asarray(feats), jnp.asarray(nmap), jnp.asarray(w),
-        tile=128, window=128, bf16=False, interpret=True)
+        tile=128, block=128, bf16=False, interpret=True)
     assert int(np.asarray(misses)[0]) == 1

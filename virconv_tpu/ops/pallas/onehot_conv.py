@@ -1,30 +1,30 @@
 """Pallas fused gather-conv via one-hot MXU matmuls.
 
 The XLA sparse-conv formulation (27 HBM row-gathers + 27 skinny matmuls)
-is row-rate bound at ~100M rows/s (docs/DESIGN.md S3), and mosaic's
-`dynamic_gather` cannot index beyond one vreg of sublanes, which blocked
-the windowed VMEM-gather kernel (ops/pallas/gather_conv.py). This kernel
-expresses the VMEM gather as a matmul instead — a trick the MXU makes
-cheap and mosaic fully supports:
+is row-rate bound at ~100M rows/s (docs/DESIGN.md S3). Two mosaic
+constraints shape this kernel:
 
-  for each kernel offset k:
-    1. DMA a per-(tile, offset) row window (S, C) HBM -> VMEM; the window
-       start comes from a precomputed (tiles, K) table (rows are sorted by
-       voxel key, so each tile's offset-k neighbors cluster in a narrow,
-       monotone row band — S of 1-2k covers real scenes; misses are
-       counted and treated as missing neighbors).
-    2. gather = onehot(local_idx) @ window   -- (T, S) x (S, C) on the MXU,
-       built in VMEM, never touching HBM.
-    3. acc += gather @ W_k                   -- (T, C) x (C, C').
+  * `dynamic_gather` cannot index past one vreg of sublanes -> the VMEM
+    row-gather is expressed as `onehot(local_idx) @ window` on the MXU
+    (the one-hot is built in VMEM and never touches HBM);
+  * manual `make_async_copy` DMAs crash this environment's remote mosaic
+    compile helper -> all loads are BlockSpec-driven. The per-(tile,
+    offset) row window is TWO adjacent feats blocks selected by a
+    scalar-prefetched block-index table (rows are sorted by voxel key, so
+    a tile's offset-k neighbors cluster in a narrow monotone band —
+    measured p100 spread 1301 rows on a surface-like 120k-voxel scene;
+    two 1024-row blocks cover spreads up to 1024 with misses counted).
 
-Matmuls run in bf16 with f32 accumulation (the one-hot is exact in bf16;
-the feature rounding is standard inference precision — a `precision`
-knob selects f32 for exactness at ~4x MXU cost).
+Grid is (tiles, K) with K innermost; the output block is revisited across
+k and accumulated in place, and pallas double-buffers the block fetches
+across steps. Matmuls run in bf16 with f32 accumulation by default (the
+one-hot is exact in bf16; feature rounding is standard inference
+precision — `bf16=False` selects f32 at ~4x MXU cost).
 
 Reference behavior target: spconv SubMConv3d
 (``/root/reference/pcdet/models/backbones_3d/spconv_backbone.py``) — same
-neighbor semantics as ops.sparse.gathered_conv, whose oracle tests cover
-this kernel through the common `nmap` contract.
+neighbor contract as ops.sparse.gathered_conv, whose oracle tests cover
+this kernel.
 """
 
 from __future__ import annotations
@@ -37,77 +37,100 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(lo_ref, nmap_ref, feats_hbm, w_ref, out_ref, win, sem, *,
-            tile, window, k, c_in, c_out, bf16):
+def _kernel(blk_ref, nmap_ref, *refs, tile, block, k, c_out, bf16):
+    # refs = fa_0, fb_0, fa_1, fb_1, ..., w_ref (k*C, C'), out_ref
+    w_ref = refs[2 * k]
+    out_ref = refs[2 * k + 1]
     i = pl.program_id(0)
-    acc = jnp.zeros((tile, c_out), jnp.float32)
     dt = jnp.bfloat16 if bf16 else jnp.float32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, 2 * block), 1)
+    gathers = []
     for kk in range(k):
-        lo = lo_ref[i, kk]
-        cp = pltpu.make_async_copy(feats_hbm.at[pl.ds(lo, window)], win, sem)
-        cp.start()
-        cp.wait()
-        idx = nmap_ref[0, :, kk]                       # (T,)
-        local = idx - lo
-        valid = (idx >= 0) & (local >= 0) & (local < window)
-        local = jnp.where(valid, local, 0)
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
-              == local[:, None]) & valid[:, None]
-        g = jnp.dot(oh.astype(dt), win[:].astype(dt),
-                    preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(g.astype(dt), w_ref[kk].astype(dt),
-                            preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+        # one INDEPENDENT matmul per offset (a serial acc chain of 2K+K
+        # dependent matmuls measured latency-bound at ~44 ms/layer)
+        base = blk_ref[i, kk] * block
+        idx = nmap_ref[0, kk, :]                             # (T,)
+        local = idx - base
+        valid = (idx >= 0) & (local >= 0) & (local < 2 * block)
+        local = jnp.where(valid, local, 2 * block)
+        win = jnp.concatenate([refs[2 * kk][:], refs[2 * kk + 1][:]],
+                              axis=0).astype(dt)             # (2B, C)
+        oh = (iota == local[:, None]).astype(dt)
+        gathers.append(jnp.dot(oh, win,
+                               preferred_element_type=jnp.float32))
+    g = jnp.concatenate(gathers, axis=1)                     # (T, K*C)
+    out_ref[:] = jnp.dot(g.astype(dt), w_ref[:].astype(dt),
+                         preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('tile', 'window', 'bf16', 'interpret'))
+                   static_argnames=('tile', 'block', 'bf16', 'interpret'))
 def onehot_gather_conv(feats, nmap, weights, tile: int = 256,
-                       window: int = 2048, bf16: bool = True,
+                       block: int = 2048, bf16: bool = True,
                        interpret: bool = False):
     """Fused submanifold conv: feats (N, C), nmap (N, K) int32 (-1 missing,
     row indices into feats), weights (K, C, C').
 
     Returns ((N, C') f32, misses (tiles,) int32) — misses counts neighbors
-    outside their tile window (treated as missing; ~0 for real scenes with
-    window >= 2048).
+    outside their tile's two-block window. Floor alignment guarantees
+    coverage of per-(tile, offset) neighbor spreads up to block + 1 rows
+    (measured p100 spread 1301 on surface-like scenes -> block 2048 gives
+    zero misses).
     """
+    assert block % tile == 0
     n0, c_in = feats.shape
     k = nmap.shape[1]
     c_out = weights.shape[2]
-    pad = (-n0) % tile
+    # pad rows so both the tile grid and the block grid divide evenly, and
+    # so block index +1 always exists
+    pad = (-n0) % block + block
     feats = jnp.pad(feats, ((0, pad), (0, 0)))
     nmap = jnp.pad(nmap, ((0, pad), (0, 0)), constant_values=-1)
     n = n0 + pad
-    window = min(window, n)
     n_tiles = n // tile
+    n_blocks = n // block
 
     big = jnp.int32(2 ** 30)
     nm = nmap.reshape(n_tiles, tile, k)
-    lo = jnp.where(nm >= 0, nm, big).min(axis=1)            # (tiles, K)
-    lo = jnp.clip(jnp.where(lo == big, 0, lo), 0, n - window)
+    lo = jnp.where(nm >= 0, nm, big).min(axis=1)             # (tiles, K)
+    # kernel-side layout (tiles, K, tile): the (K, tile) slab per tile is
+    # 27 KB and satisfies the (second-minor == dim, minor % 128) tiling rule
+    nm_t = nm.transpose(0, 2, 1)
+    lo = jnp.where(lo == big, 0, lo)
+    blk = jnp.clip(lo // block, 0, n_blocks - 2)             # (tiles, K)
 
-    kernel = functools.partial(_kernel, tile=tile, window=window, k=k,
-                               c_in=c_in, c_out=c_out, bf16=bf16)
+    kernel = functools.partial(_kernel, tile=tile, block=block, k=k,
+                               c_out=c_out, bf16=bf16)
+
+    def fa_spec(kk):
+        return pl.BlockSpec((block, c_in),
+                            lambda i, blk_ref, kk=kk: (blk_ref[i, kk], 0))
+
+    def fb_spec(kk):
+        return pl.BlockSpec(
+            (block, c_in), lambda i, blk_ref, kk=kk: (blk_ref[i, kk] + 1, 0))
+
+    window_specs = []
+    for kk in range(k):
+        window_specs += [fa_spec(kk), fb_spec(kk)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,            # lo (tiles, K) lives whole in SMEM
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, tile, k), lambda i, lo_ref: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        num_scalar_prefetch=1,                  # blk table lives in SMEM
+        grid=(n_tiles,),                        # ONE step per tile: per-step
+        in_specs=[                              # overheads dominated at
+            pl.BlockSpec((1, k, tile),          # (tiles x K) granularity
+                         lambda i, blk_ref: (i, 0, 0)),
+            *window_specs,
+            pl.BlockSpec((k * c_in, c_out), lambda i, blk_ref: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tile, c_out), lambda i, lo_ref: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((window, c_in), feats.dtype),
-                        pltpu.SemaphoreType.DMA],
+        out_specs=pl.BlockSpec((tile, c_out), lambda i, blk_ref: (i, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, c_out), jnp.float32),
         interpret=interpret,
-    )(lo, nm, feats, weights)
+    )(blk, nm_t, *([feats] * (2 * k)), weights.reshape(k * c_in, c_out))
 
-    local = nm - lo[:, None, :]
-    missed = (nm >= 0) & ((local < 0) | (local >= window))
+    local = nm - (blk * block)[:, None, :]
+    missed = (nm >= 0) & ((local < 0) | (local >= 2 * block))
     return out[:n0], missed.sum(axis=(1, 2)).astype(jnp.int32)
