@@ -5,6 +5,8 @@ database, then exercises KittiDatasetMM with full augmentation (gt/DA
 sampling, local noise, world transforms, pyramid augs, StVD) and collation
 in both train and eval (ROT_NUM replicas) modes.
 """
+import copy
+
 import numpy as np
 import pytest
 import yaml
@@ -182,3 +184,47 @@ class TestPipeline:
         # replica 1 is the transformed scene: params differ from replica 0
         assert not np.allclose(batch['transform_param'][0, 0],
                                batch['transform_param'][0, 1])
+
+
+class TestSemiDataset:
+    def test_trainsemi_mixes_splits(self, infos_ready):
+        """KittiDatasetSemi resolves raw data against the per-info split
+        subdir (training/ vs semi/) and mixes the id lists."""
+        import pickle
+        import shutil
+        from virconv_tpu.datasets.kitti.kitti_dataset_semi import \
+            KittiDatasetSemi
+
+        root = infos_ready
+        # fabricate a pseudo-labeled semi/ frame by cloning a training frame
+        for sub in ('velodyne_depth', 'calib', 'label_2'):
+            (root / 'semi' / sub).mkdir(parents=True, exist_ok=True)
+        src = root / 'training'
+        for sub, fn in (('velodyne_depth', '000000.npy'),
+                        ('calib', '000000.txt'), ('label_2', '000000.txt')):
+            shutil.copy(src / sub / fn, root / 'semi' / sub / fn)
+        with open(root / 'ImageSets' / 'semi.txt', 'w') as f:
+            f.write('000000\n')
+
+        with open(root / 'kitti_infos_train.pkl', 'rb') as f:
+            train_infos = pickle.load(f)
+        for info in train_infos:
+            info['split'] = 'training'
+        semi_info = copy.deepcopy(train_infos[0])
+        semi_info['split'] = 'semi'
+        with open(root / 'kitti_infos_trainsemi.pkl', 'wb') as f:
+            pickle.dump(train_infos + [semi_info], f)
+
+        cfg = make_dataset_cfg(root)
+        cfg.DATA_SPLIT = {'train': 'trainsemi', 'test': 'val'}
+        cfg.INFO_PATH = {'train': ['kitti_infos_trainsemi.pkl'],
+                         'test': ['kitti_infos_val.pkl']}
+        ds = KittiDatasetSemi(dataset_cfg=cfg, class_names=['Car'],
+                              training=True, root_path=root)
+        subs = {tuple(s)[0] for s in ds.sample_id_list}
+        assert subs == {'training', 'semi'}
+        assert len(ds.kitti_infos) == len(train_infos) + 1
+
+        # the semi info (last) must load points from semi/velodyne_depth
+        item = ds[len(ds.kitti_infos) - 1]
+        assert item is None or 'points' in item
