@@ -195,3 +195,24 @@ def test_eval_forward_with_replicas():
     assert boxes.shape[0] == 1 and boxes.shape[-1] == 7
     assert scores.shape[:2] == boxes.shape[:2]
     assert np.isfinite(boxes).all() and np.isfinite(scores).all()
+
+
+def test_stage_probes():
+    """The profiling stage probes (tools/profile_stages.py) must return a
+    finite scalar at every prefix and dead-code-eliminate downstream work
+    (shape/validity only here; timing attribution runs on the chip)."""
+    import functools
+    model_cfg, data_cfg = tiny_cfg(mm=True)
+    model = VoxelRCNN(model_cfg=model_cfg, dataset_cfg=data_cfg)
+    rng = np.random.default_rng(2)
+    train_batch = make_batch(rng, n_entries=1, train=True)
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {'params': jax.random.PRNGKey(0), 'stvd': jax.random.PRNGKey(1),
+         'sampling': jax.random.PRNGKey(2), 'dropout': jax.random.PRNGKey(3)},
+        train_batch)
+    eval_batch = make_batch(rng, n_entries=2, train=False, n_rep=2)
+    for stage in ('voxelize', 'backbone', 'bev', 'rpn', 'pool0', 'stage0'):
+        out = jax.jit(functools.partial(model.apply, train=False,
+                                        stage=stage))(variables, eval_batch)
+        assert set(out) == {'probe'}, stage
+        assert np.isfinite(float(out['probe'])), stage

@@ -21,10 +21,12 @@ missing; the second return value counts them per tile so callers can verify
 STATUS: blocked by the current mosaic toolchain — `tpu.dynamic_gather`
 reports "Not implemented: Multiple source vregs along gather dimension",
 i.e. the VMEM gather source must fit one vreg (8 sublanes) along the
-gathered axis, far below the T*K window this kernel needs. Kept as the
-reference design for when the toolchain gains multi-vreg gathers; the
-production path remains ops.sparse.gathered_conv (XLA). See
-docs/DESIGN.md §3.
+gathered axis, far below the T*K window this kernel needs. Superseded by
+ops/pallas/onehot_conv.py, which expresses the VMEM gather as a one-hot
+MXU matmul instead (compiles + exact, measured at parity with the XLA
+path — docs/DESIGN.md §10); the production path remains
+ops.sparse.gathered_conv. Kept for when the toolchain gains multi-vreg
+gathers, which would beat both.
 """
 
 from __future__ import annotations
