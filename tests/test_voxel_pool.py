@@ -84,3 +84,31 @@ def test_voxel_query_matches_bruteforce():
             np.testing.assert_allclose(
                 centers[q][valid[q]], np.stack([hh[1] for hh in hits]),
                 rtol=1e-5)
+
+
+def test_voxel_query_chunked_matches_unchunked(monkeypatch):
+    """Forcing the lax.map chunked path must not change results."""
+    import virconv_tpu.models.roi_heads.voxel_pool as vp
+    rng = np.random.default_rng(3)
+    spatial = (8, 20, 20)
+    vs = (0.2, 0.2, 0.2)
+    pcr = (0, -2, -0.8, 4, 2, 0.8)
+    st = make_sparse(rng, spatial)
+    table = build_row_table(st)
+    m = 50
+    qxyz = rng.uniform([0.2, -1.8, -0.6], [3.8, 1.8, 0.6],
+                       (m, 3)).astype(np.float32)
+    qb = rng.integers(0, 2, m).astype(np.int32)
+    cell = np.floor((qxyz - np.array(pcr[:3])) / np.array(vs)).astype(
+        np.int32)
+    qcoords = np.stack([qb, cell[:, 2], cell[:, 1], cell[:, 0]], -1)
+    qmask = np.ones(m, bool)
+    args = (st, table, jnp.asarray(qxyz), jnp.asarray(qcoords),
+            jnp.asarray(qmask), (2, 2, 2), 0.45, 6, vs, 1, pcr)
+    base = [np.asarray(x) for x in voxel_query(*args)]
+    monkeypatch.setattr(vp, 'CHUNK_BUDGET', 64)   # force many chunks
+    chunked = [np.asarray(x) for x in vp.voxel_query(*args)]
+    np.testing.assert_array_equal(base[0], chunked[0])
+    np.testing.assert_array_equal(base[1], chunked[1])
+    # centers: chunked lowering fuses the float chain differently (~1e-6)
+    np.testing.assert_allclose(base[2], chunked[2], rtol=1e-5, atol=1e-6)

@@ -23,6 +23,9 @@ from flax import linen as nn
 from ...ops import sparse as sp
 from ..layers import MaskedBatchNorm
 
+# max elements of the (m, K) candidate buffers before query chunking kicks in
+CHUNK_BUDGET = 16_000_000
+
 
 def build_row_table(st: sp.SparseTensor) -> jnp.ndarray:
     """Dense (B*D*H*W,) int32 table: voxel key -> row index (-1 empty)."""
@@ -102,35 +105,55 @@ def voxel_query_groups(st: sp.SparseTensor, table, query_xyz, query_coords,
     # static membership of each union offset in each group's own window
     members = []
     for rg, rad, _ in group_specs:
-        import numpy as np
         box = (abs(offs_np[:, 0]) <= rg[0]) & \
               (abs(offs_np[:, 1]) <= rg[1]) & (abs(offs_np[:, 2]) <= rg[2])
         members.append(jnp.asarray(box))
     d, h, w = st.spatial_shape
     vs = jnp.asarray(voxel_size, jnp.float32) * stride
     mins = jnp.asarray(point_cloud_range[:3], jnp.float32)
+    k = offs.shape[0]
+    m = query_xyz.shape[0]
 
-    neigh = query_coords[:, None, 1:] + offs[None]            # (M, K, 3)
-    ok = query_mask[:, None]
-    ok = ok & (neigh[:, :, 0] >= 0) & (neigh[:, :, 0] < d)
-    ok = ok & (neigh[:, :, 1] >= 0) & (neigh[:, :, 1] < h)
-    ok = ok & (neigh[:, :, 2] >= 0) & (neigh[:, :, 2] < w)
-    flat = ((query_coords[:, None, 0] * d + neigh[:, :, 0]) * h
-            + neigh[:, :, 1]) * w + neigh[:, :, 2]
-    flat = jnp.where(ok, flat, 0)
-    rows = table[flat]                                        # (M, K)
-    ok = ok & (rows >= 0)
-    safe = jnp.maximum(rows, 0)
-    # candidate voxel centers come from the probed CELL itself — no coords
-    # gather needed (an occupied cell's stored coords equal the probed
-    # coords by construction)
-    centers = (neigh[..., ::-1].astype(jnp.float32) + 0.5) * vs + mins
-    dist2 = jnp.sum((centers - query_xyz[:, None, :]) ** 2, -1)
+    def probe(qxyz, qcoords, qmask):
+        neigh = qcoords[:, None, 1:] + offs[None]             # (m, K, 3)
+        ok = qmask[:, None]
+        ok = ok & (neigh[:, :, 0] >= 0) & (neigh[:, :, 0] < d)
+        ok = ok & (neigh[:, :, 1] >= 0) & (neigh[:, :, 1] < h)
+        ok = ok & (neigh[:, :, 2] >= 0) & (neigh[:, :, 2] < w)
+        flat = ((qcoords[:, None, 0] * d + neigh[:, :, 0]) * h
+                + neigh[:, :, 1]) * w + neigh[:, :, 2]
+        flat = jnp.where(ok, flat, 0)
+        rows = table[flat]                                    # (m, K)
+        ok = ok & (rows >= 0)
+        safe = jnp.maximum(rows, 0)
+        # candidate voxel centers come from the probed CELL itself — no
+        # coords gather needed (an occupied cell's stored coords equal the
+        # probed coords by construction)
+        centers = (neigh[..., ::-1].astype(jnp.float32) + 0.5) * vs + mins
+        dist2 = jnp.sum((centers - qxyz[:, None, :]) ** 2, -1)
+        out = []
+        for (rg, rad, nsample), member in zip(group_specs, members):
+            ok_g = ok & member[None] & (dist2 < rad * rad)
+            out.append(_select_first(ok_g, safe, centers, nsample))
+        return tuple(out)
 
+    # chunk large query sets so the (m, K) candidate buffers stay bounded
+    # (training at reference batch sizes reaches m*K in the tens of M)
+    if m * k <= CHUNK_BUDGET:
+        return list(probe(query_xyz, query_coords, query_mask))
+    chunks = -(-(m * k) // CHUNK_BUDGET)
+    csize = -(-m // chunks)
+    pad = csize * chunks - m
+    qx = jnp.pad(query_xyz, ((0, pad), (0, 0))).reshape(chunks, csize, 3)
+    qc = jnp.pad(query_coords, ((0, pad), (0, 0))).reshape(chunks, csize, 4)
+    qm = jnp.pad(query_mask, (0, pad)).reshape(chunks, csize)
+    stacked = jax.lax.map(lambda a: probe(*a), (qx, qc, qm))
     results = []
-    for (rg, rad, nsample), member in zip(group_specs, members):
-        ok_g = ok & member[None] & (dist2 < rad * rad)
-        results.append(_select_first(ok_g, safe, centers, nsample))
+    for gi, (_, _, nsample) in enumerate(group_specs):
+        idx, valid, centers = stacked[gi]
+        results.append((idx.reshape(-1, nsample)[:m],
+                        valid.reshape(-1, nsample)[:m],
+                        centers.reshape(-1, nsample, 3)[:m]))
     return results
 
 
