@@ -21,13 +21,16 @@ BASELINE_FPS = 11.0
 
 def build_full_scale():
     import functools
+    import os
     import jax
     from virconv_tpu.config import CfgNode, cfg_from_yaml_file
     from virconv_tpu.models.detectors.voxel_rcnn import VoxelRCNN
     from virconv_tpu.utils.calibration import Calibration
 
-    cfg = cfg_from_yaml_file('tools/cfgs/models/kitti/VirConv-T.yaml',
-                             CfgNode({'ROOT_DIR': '.'}))
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = cfg_from_yaml_file(
+        os.path.join(root, 'tools/cfgs/models/kitti/VirConv-T.yaml'),
+        CfgNode({'ROOT_DIR': root}))
     model = VoxelRCNN(model_cfg=cfg.MODEL, dataset_cfg=cfg.DATA_CONFIG,
                       num_class=len(cfg.CLASS_NAMES))
 
