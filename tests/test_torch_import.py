@@ -117,3 +117,47 @@ def test_mha_import_matches_torch():
         jnp.asarray(v.transpose(1, 0, 2)))
     np.testing.assert_allclose(np.asarray(got.transpose(1, 0, 2)),
                                want.numpy(), atol=2e-5)
+
+
+def test_spconv1_kernel_layout_detected():
+    """spconv1.x (kz, ky, kx, in, out) kernels must be auto-detected, incl.
+    the square in==out blocks where round-1 code silently transposed."""
+    rng = np.random.default_rng(3)
+    in_c = out_c = 16   # square: shape alone can't disambiguate channels
+    w1 = rng.standard_normal((3, 3, 3, in_c, out_c)).astype(np.float32)
+    got = ti.spconv_kernel_to_gathered(w1)
+    np.testing.assert_array_equal(got, w1.reshape(27, in_c, out_c))
+    # (3,1,1) z-compression kernel, spconv1.x layout
+    w2 = rng.standard_normal((3, 1, 1, 8, 16)).astype(np.float32)
+    np.testing.assert_array_equal(ti.spconv_kernel_to_gathered(w2),
+                                  w2.reshape(3, 8, 16))
+    # same kernel, spconv2.x layout
+    w3 = np.ascontiguousarray(w2.transpose(4, 0, 1, 2, 3))
+    np.testing.assert_array_equal(ti.spconv_kernel_to_gathered(w3),
+                                  w2.reshape(3, 8, 16))
+
+
+def test_bev_input_perm_matches_height_compression_layouts():
+    """ref flatten (N,C,D,H,W)->C*D (c*D+d) vs ours (B,H,W,D*C) (d*C+c):
+    a 1x1 conv imported with the perm must give identical outputs."""
+    rng = np.random.default_rng(4)
+    c, d, h, w = 64, 2, 4, 5
+    dense = rng.standard_normal((1, c, d, h, w)).astype(np.float32)
+    ref_in = dense.reshape(1, c * d, h, w)                 # channel = c*D+d
+    ours_in = dense.transpose(0, 3, 4, 2, 1).reshape(1, h, w, d * c)
+    kernel = rng.standard_normal((c * d, 7)).astype(np.float32)
+    ref_out = np.einsum('nchw,cf->nhwf', ref_in, kernel)
+    perm = ti.bev_input_perm(c * d, bev_channels=c)
+    ours_out = ours_in @ kernel[perm]
+    np.testing.assert_allclose(ours_out, ref_out, rtol=1e-5, atol=1e-5)
+
+
+def test_stride1_deblock_imports_as_transpose_layout():
+    """deblocks.0.0 is a stride-1 1x1 ConvTranspose2d (in,out,kh,kw) in the
+    reference; importing via the conv2d path would swap in/out channels."""
+    kind, path = ti.translate_path('backbone_2d.deblocks.0.0.weight')
+    assert kind == 'deconv2d'
+    w = np.arange(12, dtype=np.float32).reshape(3, 4, 1, 1)  # (in,out,1,1)
+    f = ti.deconv2d_to_flax(w)
+    assert f.shape == (1, 1, 3, 4)
+    np.testing.assert_array_equal(f[0, 0], w[:, :, 0, 0])

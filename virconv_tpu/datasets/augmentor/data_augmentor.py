@@ -60,6 +60,14 @@ class DataAugmentor:
             data_dict['gt_boxes'], data_dict['points'], rot_range)
         data_dict['gt_boxes'] = gt_boxes
         data_dict['points'] = points
+        # aug_param convention is [rot, flip, scale] (consumed by the
+        # in-model NRConv inverse transform) — rotation must come FIRST in
+        # the augmentor queue; fail loudly on a misordered config instead of
+        # silently dropping an earlier flip/scale param.
+        assert 'aug_param' not in data_dict, (
+            'random_world_rotation must precede random_world_flip/'
+            'random_world_scaling in DATA_AUGMENTOR.AUG_CONFIG_LIST '
+            '(aug_param convention is [rot, flip, scale])')
         data_dict['aug_param'] = [param]
         return data_dict
 

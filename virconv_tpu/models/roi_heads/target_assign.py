@@ -83,10 +83,11 @@ def sample_rois_single(rng, rois, roi_scores, roi_labels, gt_boxes, gt_valid,
     easy_order = jnp.argsort(jnp.where(is_easy_bg,
                                        jax.random.uniform(k3, (r,)), jnp.inf))
 
-    fg_take = jnp.minimum(fg_quota, n_fg)
-    # if no bg at all: fill everything with fg (sampled with replacement)
-    fg_take = jnp.where(n_bg == 0, roi_per_image, fg_take)
-    fg_take = jnp.minimum(fg_take, jnp.maximum(n_fg, 0))
+    # if no bg at all: fill everything with fg (sampled with replacement —
+    # fg_pos below already wraps slots >= n_fg via rand % n_fg, so fg_take
+    # must NOT be re-clamped to n_fg in that case)
+    fg_take = jnp.where(n_bg == 0, roi_per_image,
+                        jnp.minimum(fg_quota, n_fg))
     bg_needed = roi_per_image - fg_take
     hard_num = jnp.where(
         (n_hard > 0) & (n_easy > 0),

@@ -33,12 +33,20 @@ def _load():
         return _LIB
     _TRIED = True
     so = _CSRC / 'libbox_ops.so'
-    if not so.exists():
+    src = _CSRC / 'box_ops.cpp'
+    stale = (so.exists() and src.exists()
+             and src.stat().st_mtime > so.stat().st_mtime)
+    if not so.exists() or stale:
         try:
-            if not build():
+            if not build() and not so.exists():
+                import sys
+                print('[virconv_tpu.ops.native] libbox_ops.so build FAILED; '
+                      'host IoU/eval fall back to the slow numpy path. '
+                      'Remedy: make -C csrc (needs g++).', file=sys.stderr)
                 return None
         except Exception:
-            return None
+            if not so.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(so))
     except OSError:

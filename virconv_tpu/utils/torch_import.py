@@ -27,14 +27,31 @@ from typing import Dict, Tuple
 import numpy as np
 
 
+def _looks_spatial(dims) -> bool:
+    """Kernel spatial dims in this net are always 1 or 3."""
+    return all(d in (1, 3) for d in dims)
+
+
 def spconv_kernel_to_gathered(w: np.ndarray) -> np.ndarray:
-    """spconv weight -> (K, C_in, C_out)."""
-    if w.ndim == 5:
-        if w.shape[0] < w.shape[1] or True:
-            # spconv2.x: (out, kz, ky, kx, in)
-            out_c, kz, ky, kx, in_c = w.shape
-            k = w.transpose(1, 2, 3, 4, 0).reshape(kz * ky * kx, in_c, out_c)
-            return np.ascontiguousarray(k)
+    """spconv weight -> (K, C_in, C_out).
+
+    spconv2.x stores (out, kz, ky, kx, in); spconv1.x stores
+    (kz, ky, kx, in, out). Detected by which slot holds the spatial dims
+    (all in {1, 3}); when both match (channel counts that also look
+    spatial), prefer spconv1.x — the layout official VirConv checkpoints
+    ship in (``/root/reference/pcdet/models/detectors/
+    detector3d_template.py:350-433`` converts 1.x -> 2.x on load).
+    """
+    if w.ndim != 5:
+        raise ValueError(f'unexpected spconv kernel shape {w.shape}')
+    is_v1 = _looks_spatial(w.shape[0:3])
+    is_v2 = _looks_spatial(w.shape[1:4])
+    if is_v1:   # prefer 1.x on ambiguity
+        return spconv1_kernel_to_gathered(w)
+    if is_v2:
+        out_c, kz, ky, kx, in_c = w.shape
+        k = w.transpose(1, 2, 3, 4, 0).reshape(kz * ky * kx, in_c, out_c)
+        return np.ascontiguousarray(k)
     raise ValueError(f'unexpected spconv kernel shape {w.shape}')
 
 
@@ -61,6 +78,23 @@ def linear_to_flax(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
+def bev_input_perm(in_c: int, bev_channels: int = 64) -> np.ndarray:
+    """In-channel permutation for the first BEV conv after import.
+
+    Reference HeightCompression flattens (N, C, D, H, W) -> channel index
+    c*D + d (``height_compression.py:31``); our ``bev.height_compression``
+    produces (B, H, W, D*C) with index d*C + c. Returns ``perm`` such that
+    ``ours_kernel[..., i, :] = ref_kernel[..., perm[i], :]``.
+    """
+    d = in_c // bev_channels
+    if d * bev_channels != in_c:
+        raise ValueError(f'BEV input {in_c} not divisible by '
+                         f'{bev_channels} channels')
+    idx = np.arange(in_c)
+    dd, cc = idx // bev_channels, idx % bev_channels
+    return cc * d + dd
+
+
 def _set(tree: Dict, path: Tuple[str, ...], value):
     d = tree
     for p in path[:-1]:
@@ -68,7 +102,8 @@ def _set(tree: Dict, path: Tuple[str, ...], value):
     d[path[-1]] = np.asarray(value)
 
 
-def import_state_dict(state_dict, report_unmapped=True, mha_heads=4):
+def import_state_dict(state_dict, report_unmapped=True, mha_heads=4,
+                      bev_channels=64):
     """Convert a reference VirConv torch state_dict into flax-style
     {'params': ..., 'batch_stats': ...} trees (numpy leaves).
 
@@ -97,7 +132,11 @@ def import_state_dict(state_dict, report_unmapped=True, mha_heads=4):
                  spconv_kernel_to_gathered(val) if val.ndim == 5
                  else spconv1_kernel_to_gathered(val))
         elif kind == 'conv2d':
-            _set(params, flax_path + ('kernel',), conv2d_to_flax(val))
+            kw = conv2d_to_flax(val)
+            if flax_path == ('bev_backbone', 'block0_down', 'Conv_0'):
+                # height-compression layout differs: permute in-channels
+                kw = kw[:, :, bev_input_perm(kw.shape[2], bev_channels), :]
+            _set(params, flax_path + ('kernel',), kw)
         elif kind == 'deconv2d':
             _set(params, flax_path + ('kernel',), deconv2d_to_flax(val))
         elif kind == 'linear':
@@ -258,8 +297,10 @@ def translate_path(key: str):
         if parts[1] == 'deblocks':
             i, j = int(parts[2]), int(parts[3])
             if j == 0 and leaf == 'weight':
-                kind = 'deconv2d' if i > 0 else 'conv2d'
-                return (kind, ('bev_backbone', f'deblock{i}'))
+                # ALL reference deblocks are ConvTranspose2d (even the
+                # stride-1 one, a 1x1 deconv == 1x1 conv with (in, out)
+                # layout) -> always convert from (in, out, kh, kw).
+                return ('deconv2d', ('bev_backbone', f'deblock{i}'))
             if j == 1:
                 k = bn_kind()
                 return (k, ('bev_backbone', f'deblock{i}_bn')) if k else None
