@@ -34,8 +34,13 @@ class ConvBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # explicit torch-style symmetric padding: for stride 2, flax 'SAME'
+        # pads (0, 1) while torch Conv2d(padding=(k-1)//2) pads (p, p) —
+        # one-pixel misalignment that breaks weight parity
+        p = (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding='SAME',
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)),
                     use_bias=not self.use_bn)(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train,
@@ -44,15 +49,24 @@ class ConvBnRelu(nn.Module):
 
 
 class DeconvBnRelu(nn.Module):
+    """ConvTranspose + BN + ReLU matching torch ``deconvbnrelu``
+    (``tools/PENet/basic.py:65-70``, k=5 s=2 p=2 op=1 by default). flax
+    ConvTranspose with a flipped kernel equals torch ConvTranspose2d when
+    padded (k-1-p, k-1-p+op) — verified exact; 'SAME' is one pixel off for
+    the overlapping k=5 s=2 case."""
+
     features: int
     kernel: int = 5
     stride: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool):
+        p = (self.kernel - 1) // 2           # torch padding
+        op = self.stride - 1                 # torch output_padding
+        pad = (self.kernel - 1 - p, self.kernel - 1 - p + op)
         x = nn.ConvTranspose(self.features, (self.kernel, self.kernel),
                              strides=(self.stride, self.stride),
-                             padding='SAME', use_bias=False)(x)
+                             padding=(pad, pad), use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(x)
         return nn.relu(x)
@@ -69,11 +83,14 @@ class BasicBlockGeo(nn.Module):
     def __call__(self, x, g1, g2, train: bool):
         inp = x if g1 is None else jnp.concatenate([x, g1], -1)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding='SAME', use_bias=False, name='conv1')(inp)
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      name='conv1')(inp)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, name='bn1')(out)
         out = nn.relu(out)
-        out2_in = out if g2 is None else jnp.concatenate([out, g2], -1)
+        # asymmetric concat orders are the reference's: conv1 input is
+        # cat(x, g1) but conv2 input is cat(g2, out) (basic.py:311,316)
+        out2_in = out if g2 is None else jnp.concatenate([g2, out], -1)
         out = nn.Conv(self.planes, (3, 3), padding='SAME', use_bias=False,
                       name='conv2')(out2_in)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -110,11 +127,18 @@ def avg_pool2(x):
 
 
 class ENet(nn.Module):
-    """Dual-branch (RGB + depth) encoder-decoder with geometry encoding."""
+    """Dual-branch (RGB + depth) encoder-decoder with geometry encoding.
+
+    ``crop_h/crop_w`` are the KITTI train-crop constants the reference
+    hardcodes into the geometry features regardless of actual input size
+    (``model.py:122-128``) — kept for weight parity."""
+
+    crop_h: int = 352
+    crop_w: int = 1216
 
     @nn.compact
     def __call__(self, rgb, d, position, k_mat, train: bool):
-        h, w = d.shape[1], d.shape[2]
+        h, w = self.crop_h, self.crop_w
         unorm = position[..., 0:1]
         vnorm = position[..., 1:2]
         fh = k_mat[:, None, None, 1:2, 1]
@@ -246,7 +270,17 @@ class CSPNGuide(nn.Module):
 
 
 def cspn_step(guide, hn, h0, kernel_size, dilation=1):
-    """One propagation step: h'(p) = sum_o g_o(p) * h(p+o), center tap h0."""
+    """One propagation step with guides evaluated AT the source neighbor:
+
+        h'(p) = sum_t g_t(p + o_t) * h(p + o_t)     (center tap: h0(p))
+
+    matching the reference ``kernel_trans`` + ``CSPNAccelerate`` pipeline
+    (``tools/PENet/model.py:242-245,489-495`` + ``basic.py:247-268``): the
+    one-hot encoderK conv shifts guide channel t by -o_t and reverses the
+    channel order, so the im2col einsum pairs g_t(p+o_t) with the tap at
+    p+o_t. Here each term is the (guide ⊙ src) product shifted by +o_t as
+    one unit (zero-filled borders == the reference's zero padding).
+    """
     k = kernel_size
     half = k // 2
     out = 0.0
@@ -254,8 +288,8 @@ def cspn_step(guide, hn, h0, kernel_size, dilation=1):
     for dy in range(-half, half + 1):
         for dx in range(-half, half + 1):
             src = h0 if (dy == 0 and dx == 0) else hn
-            out = out + guide[..., t:t + 1] * _shift2d(
-                src, dy * dilation, dx * dilation)
+            out = out + _shift2d(guide[..., t:t + 1] * src,
+                                 dy * dilation, dx * dilation)
             t += 1
     return out
 
