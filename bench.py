@@ -40,13 +40,37 @@ def build_full_scale():
     pcr = cfg.DATA_CONFIG.POINT_CLOUD_RANGE
 
     def synth_points(n_entries):
-        pts = rng.uniform(
-            [pcr[0], pcr[1], pcr[2], 0, 0, 0, 0, 1],
-            [pcr[3], pcr[4], pcr[5], 1, 0.4, 0.4, 0.4, 2.01],
-            (n_entries, n_pts, 8)).astype(np.float32)
-        pts[..., 7] = np.round(pts[..., 7])
-        valid = np.ones((n_entries, n_pts), bool)
-        return pts, valid
+        """KITTI-statistics street scenes (ground + cars + walls), one per
+        entry: ~18-20k occupied LiDAR voxels and a fused real+virtual cloud
+        that saturates the 40k mm voxel cap — matching real eval load
+        (virconv_tpu.utils.synth_scene docstring has the derivation)."""
+        import sys
+        from virconv_tpu.utils.synth_scene import make_scene, scene_stats
+        lpts = np.zeros((n_entries, n_pts, 8), np.float32)
+        lval = np.zeros((n_entries, n_pts), bool)
+        mpts = np.zeros((n_entries, n_pts, 8), np.float32)
+        mval = np.zeros((n_entries, n_pts), bool)
+        for e in range(n_entries):
+            s = make_scene(seed=e)
+            lidar8 = np.concatenate(
+                [s['lidar'][:, :4],
+                 np.zeros((len(s['lidar']), 3), np.float32),
+                 np.ones((len(s['lidar']), 1), np.float32)], -1)
+            fused = np.concatenate([lidar8, s['virtual']], 0)
+            if len(fused) > n_pts:
+                keep = rng.choice(len(fused), n_pts, replace=False)
+                fused = fused[keep]
+            lpts[e, :len(lidar8)] = lidar8
+            lval[e, :len(lidar8)] = True
+            mpts[e, :len(fused)] = fused
+            mval[e, :len(fused)] = True
+            if e == 0:
+                lp, lv = scene_stats(s['lidar'])
+                fp, fv = scene_stats(fused)
+                print(f'[bench scene] lidar {lp} pts/{lv} vox; fused '
+                      f'{fp} pts/{fv} vox (mm stream capped at 40k)',
+                      file=sys.stderr)
+        return lpts, lval, mpts, mval
 
     # KITTI-typical calibration
     p2 = np.array([[721.5, 0., 609.6, 44.9],
@@ -61,10 +85,27 @@ def build_full_scale():
 
     params = np.array([[0.3, 0.0, 0.98], [0.3, 1.0, 1.02], [0.0, 1.0, 1.0]],
                       np.float32)[:n_rep]
-    pts, valid = synth_points(n_rep)
+    lpts, lval, mpts, mval = synth_points(1)
+
+    def world_transform(p, prm):
+        # each replica carries its own [rot, flip, scale] world transform,
+        # genuinely applied to the points (like X_TRANS in the loader)
+        rot, flip, scale = prm
+        q = p.copy()
+        ca, sa = np.cos(rot), np.sin(rot)
+        x, y = q[..., 0].copy(), q[..., 1].copy()
+        q[..., 0] = ca * x - sa * y
+        q[..., 1] = sa * x + ca * y
+        if flip == 1:
+            q[..., 1] = -q[..., 1]
+        q[..., :3] *= scale
+        return q
+
+    lrep = np.concatenate([world_transform(lpts, p) for p in params], 0)
+    mrep = np.concatenate([world_transform(mpts, p) for p in params], 0)
     batch = {
-        'points': pts, 'points_valid': valid,
-        'points_mm': pts.copy(), 'points_mm_valid': valid.copy(),
+        'points': lrep, 'points_valid': np.tile(lval, (n_rep, 1)),
+        'points_mm': mrep, 'points_mm_valid': np.tile(mval, (n_rep, 1)),
         'v2r': np.tile(v2r, (n_rep, 1, 1)),
         'p2t': np.tile(p2t, (n_rep, 1, 1)),
         'transform_param': params[None],
@@ -76,10 +117,10 @@ def build_full_scale():
     train_batch = dict(batch)
     train_batch['transform_param'] = None
     train_batch['trans_params'] = params[:1]
-    train_batch['points'] = pts[:1]
-    train_batch['points_valid'] = valid[:1]
-    train_batch['points_mm'] = pts[:1].copy()
-    train_batch['points_mm_valid'] = valid[:1].copy()
+    train_batch['points'] = lrep[:1]
+    train_batch['points_valid'] = batch['points_valid'][:1]
+    train_batch['points_mm'] = mrep[:1].copy()
+    train_batch['points_mm_valid'] = batch['points_mm_valid'][:1]
     train_batch['v2r'] = batch['v2r'][:1]
     train_batch['p2t'] = batch['p2t'][:1]
     gt = np.zeros((1, 64, 8), np.float32)

@@ -1,0 +1,141 @@
+"""Band-window Pallas conv vs the XLA gathered_conv oracle (interpret mode
+on CPU; the TPU path shares the pallas lowering)."""
+import jax
+jax.config.update('jax_default_matmul_precision', 'highest')
+import numpy as np
+import jax.numpy as jnp
+
+from virconv_tpu.ops import sparse as sp
+from virconv_tpu.ops.pallas.band_conv import band_conv
+
+from test_sparse import make_random_sparse
+
+
+def test_subm_band_matches_gathered_conv():
+    rng = np.random.default_rng(0)
+    st = make_random_sparse(rng, batch_size=2, spatial=(6, 24, 20),
+                            n_valid=700, capacity=768, channels=8)
+    w = (rng.standard_normal((27, 8, 12)) * 0.2).astype(np.float32)
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    want = np.asarray(sp.gathered_conv(st.feats, nmap, jnp.asarray(w),
+                                       st.mask))
+    plan, keys = sp.subm_band_plan(st, 3, tile=64, block=128)
+    assert bool(plan.span_ok)
+    got = band_conv(st.feats, keys, plan, jnp.asarray(w), bf16=False,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_subm_band_bf16_close():
+    rng = np.random.default_rng(1)
+    st = make_random_sparse(rng, batch_size=1, spatial=(6, 16, 14),
+                            n_valid=300, capacity=384, channels=8)
+    w = (rng.standard_normal((27, 8, 8)) * 0.2).astype(np.float32)
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    want = np.asarray(sp.gathered_conv(st.feats, nmap, jnp.asarray(w),
+                                       st.mask))
+    plan, keys = sp.subm_band_plan(st, 3, tile=64, block=128)
+    got = band_conv(st.feats, keys, plan, jnp.asarray(w), bf16=True,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=0.15, rtol=0.05)
+
+
+def test_subm_band_fused_affine_relu():
+    rng = np.random.default_rng(2)
+    st = make_random_sparse(rng, batch_size=1, spatial=(4, 12, 10),
+                            n_valid=150, capacity=192, channels=4)
+    w = (rng.standard_normal((27, 4, 6)) * 0.3).astype(np.float32)
+    scale = rng.uniform(0.5, 2.0, 6).astype(np.float32)
+    bias = rng.standard_normal(6).astype(np.float32)
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    raw = np.asarray(sp.gathered_conv(st.feats, nmap, jnp.asarray(w),
+                                      st.mask))
+    want = np.maximum(raw * scale + bias, 0.0) * np.asarray(st.mask)[:, None]
+    plan, keys = sp.subm_band_plan(st, 3, tile=64, block=128)
+    got = band_conv(st.feats, keys, plan, jnp.asarray(w),
+                    scale=jnp.asarray(scale), bias=jnp.asarray(bias),
+                    relu=True, bf16=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_strided_band_matches_gathered_conv():
+    rng = np.random.default_rng(3)
+    st = make_random_sparse(rng, batch_size=2, spatial=(6, 24, 20),
+                            n_valid=700, capacity=768, channels=8)
+    stride, padding, ksz = (2, 2, 2), (1, 1, 1), (3, 3, 3)
+    st_out = sp.downsample_coords(st, stride, padding, ksz, 512)
+    nmap = sp.build_strided_neighbor_map(st, st_out, stride, padding, ksz)
+    w = (rng.standard_normal((27, 8, 12)) * 0.2).astype(np.float32)
+    want = np.asarray(sp.gathered_conv(st.feats, nmap, jnp.asarray(w),
+                                       st_out.mask))
+    plan, keys = sp.strided_band_plan(st, st_out, stride, padding, ksz,
+                                      tile=64, block=128)
+    assert bool(plan.span_ok)
+    got = band_conv(st.feats, keys, plan, jnp.asarray(w), bf16=False,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_strided_band_z_compression_kernel():
+    """The (3,1,1) stride-(2,1,1) conv_out geometry."""
+    rng = np.random.default_rng(4)
+    st = make_random_sparse(rng, batch_size=1, spatial=(7, 12, 10),
+                            n_valid=300, capacity=384, channels=8)
+    stride, padding, ksz = (2, 1, 1), (0, 0, 0), (3, 1, 1)
+    st_out = sp.downsample_coords(st, stride, padding, ksz, 256)
+    nmap = sp.build_strided_neighbor_map(st, st_out, stride, padding, ksz)
+    w = (rng.standard_normal((3, 8, 8)) * 0.2).astype(np.float32)
+    want = np.asarray(sp.gathered_conv(st.feats, nmap, jnp.asarray(w),
+                                       st_out.mask))
+    plan, keys = sp.strided_band_plan(st, st_out, stride, padding, ksz,
+                                      tile=64, block=128)
+    assert bool(plan.span_ok)
+    got = band_conv(st.feats, keys, plan, jnp.asarray(w), bf16=False,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_band_2d_image_plane():
+    rng = np.random.default_rng(5)
+    st = make_random_sparse(rng, batch_size=2, spatial=(6, 24, 20),
+                            n_valid=500, capacity=512, channels=8)
+    # project to a 2D tensor like NRConv does (unique keys here)
+    coords2d = jnp.stack([st.coords[:, 0], st.coords[:, 2],
+                          st.coords[:, 3]], -1)
+    coords2d = jnp.where(st.mask[:, None], coords2d, -1)
+    st2 = sp.SparseTensor(feats=st.feats, coords=coords2d, mask=st.mask,
+                          spatial_shape=(24, 20), batch_size=2)
+    st2 = sp.sort_by_key(st2)
+    st2 = sp.dedup_sorted(st2)          # duplicates from z-collapse
+    st2 = sp.compact_sorted(st2, st2.capacity)
+    nmap = sp.build_subm_neighbor_map(st2, 3)
+    w = (rng.standard_normal((9, 8, 8)) * 0.2).astype(np.float32)
+    want = np.asarray(sp.gathered_conv(st2.feats, nmap, jnp.asarray(w),
+                                       st2.mask))
+    plan, keys = sp.subm_band_plan(st2, 3, tile=64, block=128)
+    assert bool(plan.span_ok)
+    got = band_conv(st2.feats, keys, plan, jnp.asarray(w), bf16=False,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_span_overflow_flags_not_ok():
+    """A tile whose neighbor band exceeds the two-block window must flip
+    span_ok so callers take the exact XLA fallback."""
+    rng = np.random.default_rng(6)
+    # one dense y-slab: dy=+1 neighbors of slab y=0 rows span the whole
+    # (large) slab at y=1 while block is tiny
+    coords = []
+    for y in (0, 1):
+        for x in range(24):
+            for z in range(6):
+                coords.append((0, z, y, x))
+    coords = np.asarray(coords, np.int32)
+    n = len(coords)
+    st = sp.SparseTensor(
+        feats=jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32)),
+        coords=jnp.asarray(coords),
+        mask=jnp.ones((n,), bool), spatial_shape=(6, 4, 24), batch_size=1)
+    st = sp.sort_by_key(st)
+    plan, keys = sp.subm_band_plan(st, 3, tile=16, block=16)
+    assert not bool(plan.span_ok)

@@ -81,15 +81,16 @@ class NRConvBlock(nn.Module):
                 None.
             feat_stride: voxel stride of the *output* of this block.
         """
+        band = (not train) and sp.band_enabled()
         if self.stride > 1:
             st = SparseDownBlock(self.out_channels, (3, 3, 3),
                                  (self.stride,) * 3, self.padding,
                                  out_capacity=self.out_capacity,
-                                 name='down')(st, train)
+                                 name='down')(st, train, use_band=band)
         half = self.out_channels // 2
-        nmap3d = sp.build_subm_neighbor_map(st, 3)
-        d3 = SubMConvBlock(half, name='d3_conv1')(st, nmap3d, train)
-        d3 = SubMConvBlock(half, name='d3_conv2')(d3, nmap3d, train)
+        ctx3d = sp.subm_conv_ctx(st, 3, use_band=band)
+        d3 = SubMConvBlock(half, name='d3_conv1')(st, ctx3d, train)
+        d3 = SubMConvBlock(half, name='d3_conv2')(d3, ctx3d, train)
 
         # ---- project the same sparse voxels into the image plane ----------
         xyz = voxel_centers(d3.coords, feat_stride, self.voxel_size,
@@ -111,17 +112,31 @@ class NRConvBlock(nn.Module):
         coords2d = jnp.stack([d3.coords[:, 0], u, v], axis=-1)
         coords2d = jnp.where(d3.mask[:, None], coords2d, -1)
 
-        # 2D grid key space is small -> dense-table lookup works on unsorted
-        # rows, so the image-plane tensor keeps d3's row order (no sort /
-        # un-sort round trip) and the outputs concatenate directly.
         st2d = sp.SparseTensor(feats=d3.feats, coords=coords2d, mask=d3.mask,
                                spatial_shape=IMG_GRID,
                                batch_size=st.batch_size)
-        nmap2d = sp.build_subm_neighbor_map(st2d, 3)
-        d2 = SubMConvBlock(half, name='d2_conv1')(st2d, nmap2d, train)
-        d2 = SubMConvBlock(half, name='d2_conv2')(d2, nmap2d, train)
+        if not band:
+            # 2D grid key space is small -> dense-table lookup works on
+            # unsorted rows, so the image-plane tensor keeps d3's row order
+            # (no sort / un-sort round trip).
+            ctx2d = sp.subm_conv_ctx(st2d, 3, use_band=False)
+            d2 = SubMConvBlock(half, name='d2_conv1')(st2d, ctx2d, train)
+            d2 = SubMConvBlock(half, name='d2_conv2')(d2, ctx2d, train)
+            d2_feats = d2.feats
+        else:
+            # band kernel needs physically key-sorted rows: sort once, run
+            # both convs, un-sort once. Duplicate pixel keys (several voxels
+            # projecting onto one pixel) are handled first-wins.
+            st2s, perm = sp.sort_by_key_with_perm(st2d)
+            ctx2d = sp.subm_conv_ctx(st2s, 3, use_band=True,
+                                     first_wins_sources=True)
+            d2 = SubMConvBlock(half, name='d2_conv1')(st2s, ctx2d, train)
+            d2 = SubMConvBlock(half, name='d2_conv2')(d2, ctx2d, train)
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype))
+            d2_feats = d2.feats[inv]
 
-        return d3.replace(feats=jnp.concatenate([d3.feats, d2.feats], -1))
+        return d3.replace(feats=jnp.concatenate([d3.feats, d2_feats], -1))
 
 
 def _cap(n: int, ratio: float) -> int:
@@ -150,15 +165,16 @@ class LidarStack(nn.Module):
     def __call__(self, st: sp.SparseTensor, train: bool):
         nf = self.num_filters
         n0 = st.capacity
-        nmap1 = sp.build_subm_neighbor_map(st, 3)
-        x = SubMConvBlock(nf[0], name='conv_input')(st, nmap1, train)
-        x1 = SubMConvBlock(nf[0], name='conv1')(x, nmap1, train)
+        band = (not train) and sp.band_enabled()
+        ctx1 = sp.subm_conv_ctx(st, 3, use_band=band)
+        x = SubMConvBlock(nf[0], name='conv_input')(st, ctx1, train)
+        x1 = SubMConvBlock(nf[0], name='conv1')(x, ctx1, train)
 
         x2 = SparseDownBlock(nf[1], out_capacity=_cap(n0, self.cap_ratios[0]),
-                             name='conv2_down')(x1, train)
-        nmap2 = sp.build_subm_neighbor_map(x2, 3)
-        x2 = SubMConvBlock(nf[1], name='conv2_a')(x2, nmap2, train)
-        x2 = SubMConvBlock(nf[1], name='conv2_b')(x2, nmap2, train)
+                             name='conv2_down')(x1, train, use_band=band)
+        ctx2 = sp.subm_conv_ctx(x2, 3, use_band=band)
+        x2 = SubMConvBlock(nf[1], name='conv2_a')(x2, ctx2, train)
+        x2 = SubMConvBlock(nf[1], name='conv2_b')(x2, ctx2, train)
 
         if self.dense_tail:
             # Coarse scales (stride >= 4) fit HBM densely; submanifold ==
@@ -186,22 +202,22 @@ class LidarStack(nn.Module):
                     'x_conv4': x4, 'out': out}
 
         x3 = SparseDownBlock(nf[2], out_capacity=_cap(n0, self.cap_ratios[1]),
-                             name='conv3_down')(x2, train)
-        nmap3 = sp.build_subm_neighbor_map(x3, 3)
-        x3 = SubMConvBlock(nf[2], name='conv3_a')(x3, nmap3, train)
-        x3 = SubMConvBlock(nf[2], name='conv3_b')(x3, nmap3, train)
+                             name='conv3_down')(x2, train, use_band=band)
+        ctx3 = sp.subm_conv_ctx(x3, 3, use_band=band)
+        x3 = SubMConvBlock(nf[2], name='conv3_a')(x3, ctx3, train)
+        x3 = SubMConvBlock(nf[2], name='conv3_b')(x3, ctx3, train)
 
         x4 = SparseDownBlock(nf[3], padding=(0, 1, 1),
                              out_capacity=_cap(n0, self.cap_ratios[2]),
-                             name='conv4_down')(x3, train)
-        nmap4 = sp.build_subm_neighbor_map(x4, 3)
-        x4 = SubMConvBlock(nf[3], name='conv4_a')(x4, nmap4, train)
-        x4 = SubMConvBlock(nf[3], name='conv4_b')(x4, nmap4, train)
+                             name='conv4_down')(x3, train, use_band=band)
+        ctx4 = sp.subm_conv_ctx(x4, 3, use_band=band)
+        x4 = SubMConvBlock(nf[3], name='conv4_a')(x4, ctx4, train)
+        x4 = SubMConvBlock(nf[3], name='conv4_b')(x4, ctx4, train)
 
         out = SparseDownBlock(self.out_features, kernel_size=(3, 1, 1),
                               stride=(2, 1, 1), padding=(0, 0, 0),
                               out_capacity=_cap(n0, self.cap_ratios[2]),
-                              name='conv_out')(x4, train)
+                              name='conv_out')(x4, train, use_band=band)
         return {'x_conv1': x1, 'x_conv2': x2, 'x_conv3': x3, 'x_conv4': x4,
                 'out': out}
 
@@ -293,7 +309,9 @@ class VirConvL8x(nn.Module):
                          name='mm')(st, v2r, p2t, trans_params, train)
         out = SparseDownBlock(self.out_features, kernel_size=(3, 1, 1),
                               stride=(2, 1, 1), padding=(0, 0, 0),
-                              name='conv_out')(mm['x_conv4'], train)
+                              name='conv_out')(
+            mm['x_conv4'], train,
+            use_band=(not train) and sp.band_enabled())
         return {'multi_scale_3d_features': mm,
                 'encoded_spconv_tensor': out,
                 'multi_scale_3d_strides': {'x_conv1': 1, 'x_conv2': 2,

@@ -55,22 +55,26 @@ class MaskedBatchNorm(nn.Module):
 
 class SubMConvBlock(nn.Module):
     """Submanifold sparse conv + masked BN + ReLU (reference post_act_block,
-    ``spconv_backbone.py:86-107``). The neighbor map is supplied by the
-    caller so layers sharing an indice_key reuse one map."""
+    ``spconv_backbone.py:86-107``). The conv context (neighbor map or
+    band-window plan, ``ops.sparse.subm_conv_ctx``) is supplied by the
+    caller so layers sharing an indice_key reuse one."""
 
     out_channels: int
     use_bn: bool = True
     use_relu: bool = True
 
     @nn.compact
-    def __call__(self, st: sp.SparseTensor, nmap, train: bool):
-        k = nmap.shape[1]
+    def __call__(self, st: sp.SparseTensor, ctx, train: bool):
+        k = ctx.n_taps if isinstance(ctx, sp.ConvCtx) else ctx.shape[1]
         c_in = st.num_channels
         w = self.param('kernel',
                        nn.initializers.variance_scaling(
                            1.0, 'fan_in', 'normal'),
                        (k, c_in, self.out_channels))
-        feats = sp.gathered_conv(st.feats, nmap, w, st.mask)
+        if isinstance(ctx, sp.ConvCtx):
+            feats = ctx.conv(st.feats, w)
+        else:
+            feats = sp.gathered_conv(st.feats, ctx, w, st.mask)
         if self.use_bn:
             feats = MaskedBatchNorm(self.out_channels)(feats, st.mask, train)
         if self.use_relu:
@@ -79,7 +83,8 @@ class SubMConvBlock(nn.Module):
 
 
 class SparseDownBlock(nn.Module):
-    """Strided sparse conv + masked BN + ReLU (reference 'spconv' blocks)."""
+    """Strided sparse conv + masked BN + ReLU (reference 'spconv' blocks).
+    ``use_band`` selects the band-window kernel path (eval)."""
 
     out_channels: int
     kernel_size: Tuple[int, ...] = (3, 3, 3)
@@ -88,18 +93,18 @@ class SparseDownBlock(nn.Module):
     out_capacity: int | None = None
 
     @nn.compact
-    def __call__(self, st: sp.SparseTensor, train: bool):
+    def __call__(self, st: sp.SparseTensor, train: bool,
+                 use_band: bool = False):
         cap = self.out_capacity or st.capacity
         st_out = sp.downsample_coords(st, self.stride, self.padding,
                                       self.kernel_size, cap)
-        nmap = sp.build_strided_neighbor_map(st, st_out, self.stride,
-                                             self.padding, self.kernel_size)
-        k = nmap.shape[1]
+        ctx = sp.strided_conv_ctx(st, st_out, self.stride, self.padding,
+                                  self.kernel_size, use_band=use_band)
         w = self.param('kernel',
                        nn.initializers.variance_scaling(
                            1.0, 'fan_in', 'normal'),
-                       (k, st.num_channels, self.out_channels))
-        feats = sp.gathered_conv(st.feats, nmap, w, st_out.mask)
+                       (ctx.n_taps, st.num_channels, self.out_channels))
+        feats = ctx.conv(st.feats, w)
         feats = MaskedBatchNorm(self.out_channels)(feats, st_out.mask, train)
         feats = nn.relu(feats)
         return st_out.replace(feats=feats)

@@ -1,0 +1,229 @@
+"""Band-window sparse convolution: the production Pallas conv kernel.
+
+Round-1 analysis (docs/DESIGN.md S3/S10) showed the sparse-conv floor is
+XLA's random row-gather rate (~100M rows/s): 27 gathers/site for the conv
+PLUS 27 lookup-gathers/site to build each neighbor map. This kernel removes
+both by exploiting a locality-aware global sort order:
+
+  * Rows are sorted by the (b, y, x, z) voxel key (z fastest). All 27
+    neighbors of a key k then live at k + dy*(gx*gz) + dx*gz + dz — for each
+    dy "group" a contiguous key band near k. A tile of T consecutive sorted
+    rows therefore finds ALL its group-g neighbors inside one narrow window
+    of consecutive rows (~tile size + a 3-y-slab density margin).
+  * Each (tile, group) window is TWO adjacent feats/keys blocks picked by a
+    scalar-prefetched block table (BlockSpec-driven loads only — manual DMA
+    crashes this environment's mosaic compile helper, DESIGN.md S10).
+  * The VMEM row-gather is a one-hot MXU matmul where the one-hot is built
+    by *key equality* inside the kernel: eq[t, w] = (win_key[w] - qkey[t]
+    == delta_k) & inbounds_bit_k. No neighbor map is ever materialized.
+  * Per-offset gathered blocks concatenate into one fused (T, K*C) @
+    (K*C, C') conv matmul; eval-mode BN (affine) + ReLU fuse in for free.
+
+Window coverage is data-dependent; ``band_plan`` computes per-(tile, group)
+window starts by searchsorted on the key array and a global ``span_ok``
+flag. Callers wrap ``lax.cond(span_ok, band_conv, gathered_conv)`` so the
+result is exact for any input (the fallback is the XLA oracle path).
+
+Reference behavior target: spconv SubMConv3d / SparseConv3d gather-GEMM
+(``/root/reference/pcdet/models/backbones_3d/spconv_backbone.py:86-131``),
+same contract as ``ops.sparse.gathered_conv``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INVALID_KEY = jnp.iinfo(jnp.int32).max
+ROW_VALID_BIT = 30           # bit of valid_bits marking "output row valid"
+
+
+class BandPlan(NamedTuple):
+    """Per-scale conv plan, reusable by every layer sharing a key set."""
+    base_keys: jnp.ndarray     # (n_tiles, T) int32, INVALID on padding
+    valid_bits: jnp.ndarray    # (n_tiles, T) int32 (bit k: tap k in bounds;
+    #                            bit ROW_VALID_BIT: row valid)
+    blk: jnp.ndarray           # (n_tiles, G) int32 window start block
+    span_ok: jnp.ndarray       # () bool: every window fits 2 blocks
+    deltas: Tuple[int, ...]    # static per-tap key deltas
+    group_of: Tuple[int, ...]  # static tap -> group id
+    n_out: int                 # unpadded output row count
+    tile: int
+    block: int
+
+
+def band_plan(keys: jnp.ndarray, base_keys: jnp.ndarray,
+              valid_bits: jnp.ndarray, deltas: Sequence[int],
+              group_of: Sequence[int], tile: int = 128,
+              block: int = 256) -> BandPlan:
+    """Build the window table for one (key set, kernel geometry) pair.
+
+    Args:
+        keys: (N_in,) int32 sorted ascending (INVALID_KEY padding rows).
+        base_keys: (N_out,) int32 query-origin key per output row (own key
+            for submanifold; key of ``coord*stride - pad`` for strided).
+        valid_bits: (N_out,) int32 packed tap-validity + row-valid bit.
+        deltas / group_of: static per-tap key offsets and group ids.
+    """
+    deltas = tuple(int(d) for d in deltas)
+    group_of = tuple(int(g) for g in group_of)
+    n_groups = max(group_of) + 1
+    n_out = base_keys.shape[0]
+    pad_out = (-n_out) % tile
+    bq = jnp.pad(base_keys, (0, pad_out), constant_values=0)
+    vb = jnp.pad(valid_bits, (0, pad_out))
+    n_tiles = bq.shape[0] // tile
+    bq_t = bq.reshape(n_tiles, tile)
+    vb_t = vb.reshape(n_tiles, tile)
+
+    row_ok = (vb_t >> ROW_VALID_BIT) & 1
+    big = jnp.int32(2 ** 30)
+    bmin = jnp.where(row_ok == 1, bq_t, big).min(axis=1)        # (n_tiles,)
+    bmax = jnp.where(row_ok == 1, bq_t, -big).max(axis=1)
+    any_valid = row_ok.any(axis=1)
+    bmin = jnp.where(any_valid, bmin, 0)
+    bmax = jnp.where(any_valid, bmax, 0)
+
+    n_in = keys.shape[0]
+    n_blocks = -(-n_in // block) + 1     # padded size in band_conv
+    lo_list, hi_list = [], []
+    for g in range(n_groups):
+        dmin = min(d for d, gg in zip(deltas, group_of) if gg == g)
+        dmax = max(d for d, gg in zip(deltas, group_of) if gg == g)
+        lo_list.append(bmin + dmin)
+        hi_list.append(bmax + dmax)
+    lo_q = jnp.stack(lo_list, 1)                                # (n_tiles, G)
+    hi_q = jnp.stack(hi_list, 1)
+    lo_pos = jnp.searchsorted(keys, lo_q.reshape(-1), side='left',
+                              method='sort').astype(jnp.int32)
+    hi_pos = jnp.searchsorted(keys, hi_q.reshape(-1), side='right',
+                              method='sort').astype(jnp.int32)
+    lo_pos = lo_pos.reshape(n_tiles, n_groups)
+    hi_pos = hi_pos.reshape(n_tiles, n_groups)
+    blk = jnp.clip(lo_pos // block, 0, n_blocks - 2)
+    fits = hi_pos <= (blk + 2) * block
+    span_ok = jnp.where(any_valid[:, None], fits, True).all()
+    return BandPlan(bq_t, vb_t, blk, span_ok, deltas, group_of,
+                    n_out, tile, block)
+
+
+def _kernel(blk_ref, qk_ref, vb_ref, *refs, tile, block, deltas, group_of,
+            n_groups, bf16, relu, affine):
+    k = len(deltas)
+    kref = refs[:2 * n_groups]                 # ka_g, kb_g per group
+    fref = refs[2 * n_groups:4 * n_groups]     # fa_g, fb_g per group
+    w_ref = refs[4 * n_groups]
+    nxt = 4 * n_groups + 1
+    if affine:
+        scale_ref, bias_ref = refs[nxt], refs[nxt + 1]
+        nxt += 2
+    out_ref = refs[nxt]
+
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    qk = qk_ref[0]                                           # (T,)
+    vb = vb_ref[0]
+    row_ok = (vb >> ROW_VALID_BIT) & 1
+    gathers = [None] * k
+    for g in range(n_groups):
+        wk = jnp.concatenate([kref[2 * g][0], kref[2 * g + 1][0]])  # (2B,)
+        wf = jnp.concatenate([fref[2 * g][:], fref[2 * g + 1][:]],
+                             axis=0).astype(dt)              # (2B, C)
+        dd = wk[None, :] - qk[:, None]                       # (T, 2B)
+        for t in range(k):
+            if group_of[t] != g:
+                continue
+            bit = ((vb >> t) & 1) == 1                       # (T,)
+            eq = (dd == deltas[t]) & bit[:, None]
+            gathers[t] = jnp.dot(eq.astype(dt), wf,
+                                 preferred_element_type=jnp.float32)
+    gcat = jnp.concatenate(gathers, axis=1)                  # (T, K*C)
+    out = jnp.dot(gcat.astype(dt), w_ref[:].astype(dt),
+                  preferred_element_type=jnp.float32)
+    if affine:
+        out = out * scale_ref[0][None, :] + bias_ref[0][None, :]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[:] = out * row_ok[:, None].astype(out.dtype)
+
+
+def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
+              weights: jnp.ndarray, scale=None, bias=None,
+              relu: bool = False, bf16: bool = True,
+              interpret: bool = False) -> jnp.ndarray:
+    """Apply one sparse conv through the band-window kernel.
+
+    Args:
+        feats: (N_in, C) rows sorted by ``keys``.
+        keys: (N_in,) the sorted int32 keys the plan was built on.
+        plan: BandPlan from :func:`band_plan`.
+        weights: (K, C, C').
+        scale/bias: optional (C',) fused affine (eval-mode BN).
+        relu: fuse a ReLU after the affine.
+    Returns:
+        (N_out, C') float32 (invalid rows zero). Exact iff plan.span_ok.
+    """
+    tile, block = plan.tile, plan.block
+    n_in, c_in = feats.shape
+    k = len(plan.deltas)
+    c_out = weights.shape[2]
+    n_groups = max(plan.group_of) + 1
+    pad = (-n_in) % block + block
+    feats = jnp.pad(feats, ((0, pad), (0, 0)))
+    keys_p = jnp.pad(keys, (0, pad), constant_values=INVALID_KEY)
+    n_blocks = (n_in + pad) // block
+    keys2d = keys_p.reshape(n_blocks, block)
+    n_tiles = plan.base_keys.shape[0]
+
+    affine = scale is not None
+    kernel = functools.partial(
+        _kernel, tile=tile, block=block, deltas=plan.deltas,
+        group_of=plan.group_of, n_groups=n_groups, bf16=bf16, relu=relu,
+        affine=affine)
+
+    def key_spec(g, off):
+        return pl.BlockSpec((1, block),
+                            lambda i, blk, g=g, off=off: (blk[i, g] + off, 0))
+
+    def feat_spec(g, off):
+        return pl.BlockSpec(
+            (block, c_in), lambda i, blk, g=g, off=off: (blk[i, g] + off, 0))
+
+    kspecs = [key_spec(g, off) for g in range(n_groups) for off in (0, 1)]
+    fspecs = [feat_spec(g, off) for g in range(n_groups) for off in (0, 1)]
+    extra_in = []
+    extra_specs = []
+    if affine:
+        extra_in = [scale.reshape(1, c_out).astype(jnp.float32),
+                    bias.reshape(1, c_out).astype(jnp.float32)]
+        extra_specs = [pl.BlockSpec((1, c_out), lambda i, blk: (0, 0)),
+                       pl.BlockSpec((1, c_out), lambda i, blk: (0, 0))]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i, blk: (i, 0)),   # base keys
+            pl.BlockSpec((1, tile), lambda i, blk: (i, 0)),   # valid bits
+            *kspecs, *fspecs,
+            pl.BlockSpec((k * c_in, c_out), lambda i, blk: (0, 0)),
+            *extra_specs,
+        ],
+        out_specs=pl.BlockSpec((tile, c_out), lambda i, blk: (i, 0)),
+    )
+    wdt = jnp.bfloat16 if bf16 else jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c_out), jnp.float32),
+        interpret=interpret,
+    )(plan.blk, plan.base_keys, plan.valid_bits,
+      *([keys2d] * (2 * n_groups)),
+      *([feats] * (2 * n_groups)),
+      weights.reshape(k * c_in, c_out).astype(wdt),
+      *extra_in)
+    return out[:plan.n_out]

@@ -59,20 +59,45 @@ class SparseTensor:
         return self.replace(feats=feats)
 
 
+def key_order(ndim: int) -> Tuple[int, ...]:
+    """Spatial-axis linearization order of the canonical sort key.
+
+    3D coords are [b, z, y, x] but the key is linearized (b, y, x, z) — z
+    fastest — so ALL 27 neighbors of a site live within a ±(gx*gz + gz + 1)
+    key band (3 adjacent y-slabs): the locality the band-window Pallas conv
+    kernel (ops/pallas/band_conv.py) exploits. 2D image-plane coords
+    [b, u, v] keep (u, v) order (v fastest), giving the same 3-u-column
+    locality for the 2D convs.
+    """
+    return (1, 2, 0) if ndim == 3 else tuple(range(ndim))
+
+
+def key_strides(spatial_shape: Sequence[int]):
+    """Per-spatial-axis multiplier in the linearized key, and the total
+    cell count per batch entry."""
+    order = key_order(len(spatial_shape))
+    strides = [0] * len(spatial_shape)
+    m = 1
+    for ax in reversed(order):
+        strides[ax] = m
+        m *= int(spatial_shape[ax])
+    return tuple(strides), m
+
+
 def coords_to_keys(coords: jnp.ndarray, spatial_shape: Sequence[int],
                    batch_size: int, mask: jnp.ndarray) -> jnp.ndarray:
-    """Linearize [b, *spatial] int coords into sortable int32 keys.
+    """Linearize [b, *spatial] int coords into sortable int32 keys (in
+    ``key_order`` axis order).
 
     Invalid rows map to INVALID_KEY (sorts last). The caller must guarantee
     batch_size * prod(spatial_shape) < 2**31.
     """
-    total = batch_size
-    for s in spatial_shape:
-        total *= int(s)
+    strides, m = key_strides(spatial_shape)
+    total = batch_size * m
     assert total < 2**31, f'key space {total} overflows int32'
-    key = coords[:, 0]
-    for i, s in enumerate(spatial_shape):
-        key = key * s + coords[:, i + 1]
+    key = coords[:, 0] * m
+    for i, s in enumerate(strides):
+        key = key + coords[:, i + 1] * s
     return jnp.where(mask, key.astype(jnp.int32), INVALID_KEY)
 
 
@@ -191,15 +216,15 @@ def build_subm_neighbor_map(st: SparseTensor,
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size,) * ndim
     offsets = _kernel_offsets(kernel_size)              # (K, ndim)
-    keys = st.keys()
+    strides, m = key_strides(st.spatial_shape)
     coords = st.coords                                  # (N, ndim+1)
     neigh = coords[:, None, 1:] + offsets[None, :, :]   # (N, K, ndim)
     ok = st.mask[:, None]
     for i, s in enumerate(st.spatial_shape):
         ok = ok & (neigh[:, :, i] >= 0) & (neigh[:, :, i] < s)
-    nkey = coords[:, None, 0].astype(jnp.int32)
-    for i, s in enumerate(st.spatial_shape):
-        nkey = nkey * s + neigh[:, :, i]
+    nkey = coords[:, None, 0].astype(jnp.int32) * m
+    for i, s in enumerate(strides):
+        nkey = nkey + neigh[:, :, i] * s
     nkey = jnp.where(ok, nkey, INVALID_KEY)
     return make_lookup(st)(nkey.reshape(-1)).reshape(nkey.shape)  # (N, K)
 
@@ -327,11 +352,218 @@ def build_strided_neighbor_map(st_in: SparseTensor, st_out: SparseTensor,
     ok = st_out.mask[:, None]
     for i, s in enumerate(st_in.spatial_shape):
         ok = ok & (neigh[:, :, i] >= 0) & (neigh[:, :, i] < s)
-    nkey = st_out.coords[:, None, 0].astype(jnp.int32)
-    for i, s in enumerate(st_in.spatial_shape):
-        nkey = nkey * s + neigh[:, :, i]
+    strides_in, m = key_strides(st_in.spatial_shape)
+    nkey = st_out.coords[:, None, 0].astype(jnp.int32) * m
+    for i, s in enumerate(strides_in):
+        nkey = nkey + neigh[:, :, i] * s
     nkey = jnp.where(ok, nkey, INVALID_KEY)
     return make_lookup(st_in)(nkey.reshape(-1)).reshape(nkey.shape)
+
+
+# --------------------------------------------------------------------------
+# Band-window conv plans (ops/pallas/band_conv.py): per-scale precomputation
+# shared by every layer on one key set — replaces the neighbor maps (and
+# their 27N lookup-gathers) on the eval path.
+# --------------------------------------------------------------------------
+
+def _band_geometry(spatial_shape, offsets_np):
+    """Static (deltas, group_of) for taps given in coordinate offsets."""
+    import numpy as np
+    strides, _ = key_strides(spatial_shape)
+    deltas = tuple(int((offsets_np * np.asarray(strides)).sum(1)[t])
+                   for t in range(len(offsets_np)))
+    major = key_order(len(spatial_shape))[0]
+    vals = sorted(set(int(v) for v in offsets_np[:, major]))
+    group_of = tuple(vals.index(int(v)) for v in offsets_np[:, major])
+    return deltas, group_of
+
+
+def _pack_valid_bits(ok: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
+    """(N, K) tap-validity bools + (N,) row mask -> packed int32 bits."""
+    from .pallas.band_conv import ROW_VALID_BIT
+    k = ok.shape[1]
+    assert k < ROW_VALID_BIT
+    weights = (1 << jnp.arange(k, dtype=jnp.int32))
+    bits = (ok.astype(jnp.int32) * weights[None, :]).sum(axis=1)
+    return bits | (row_mask.astype(jnp.int32) << ROW_VALID_BIT)
+
+
+def subm_band_plan(st: SparseTensor, kernel_size, tile: int = 128,
+                   block: int = 256):
+    """Band-conv plan for a submanifold conv on ``st`` (sorted by key)."""
+    import numpy as np
+    from .pallas.band_conv import band_plan
+    ndim = st.ndim
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * ndim
+    offsets_np = np.stack(np.meshgrid(
+        *[np.arange(kk) - kk // 2 for kk in kernel_size],
+        indexing='ij'), -1).reshape(-1, ndim)
+    deltas, group_of = _band_geometry(st.spatial_shape, offsets_np)
+    offsets = jnp.asarray(offsets_np, jnp.int32)
+    neigh = st.coords[:, None, 1:] + offsets[None]
+    ok = st.mask[:, None]
+    for i, s in enumerate(st.spatial_shape):
+        ok = ok & (neigh[:, :, i] >= 0) & (neigh[:, :, i] < s)
+    keys = st.keys()
+    base = jnp.where(st.mask, keys, 0)
+    bits = _pack_valid_bits(ok, st.mask)
+    return band_plan(keys, base, bits, deltas, group_of, tile, block), keys
+
+
+def strided_band_plan(st_in: SparseTensor, st_out: SparseTensor, stride,
+                      padding, kernel_size, tile: int = 128,
+                      block: int = 512):
+    """Band-conv plan for a strided conv st_in -> st_out (both sorted)."""
+    import numpy as np
+    from .pallas.band_conv import band_plan
+    ndim = st_in.ndim
+    if isinstance(stride, int):
+        stride = (stride,) * ndim
+    if isinstance(padding, int):
+        padding = (padding,) * ndim
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * ndim
+    offsets_np = np.stack(np.meshgrid(
+        *[np.arange(kk) for kk in kernel_size],
+        indexing='ij'), -1).reshape(-1, ndim)
+    deltas, group_of = _band_geometry(st_in.spatial_shape, offsets_np)
+    offsets = jnp.asarray(offsets_np, jnp.int32)
+    base_c = jnp.stack([st_out.coords[:, i + 1] * stride[i] - padding[i]
+                        for i in range(ndim)], -1)          # (N_out, ndim)
+    neigh = base_c[:, None, :] + offsets[None]
+    ok = st_out.mask[:, None]
+    for i, s in enumerate(st_in.spatial_shape):
+        ok = ok & (neigh[:, :, i] >= 0) & (neigh[:, :, i] < s)
+    strides_in, m = key_strides(st_in.spatial_shape)
+    base = st_out.coords[:, 0] * m
+    for i, s in enumerate(strides_in):
+        base = base + base_c[:, i] * s
+    base = jnp.where(st_out.mask, base.astype(jnp.int32), 0)
+    keys_in = st_in.keys()
+    bits = _pack_valid_bits(ok, st_out.mask)
+    return (band_plan(keys_in, base, bits, deltas, group_of, tile, block),
+            keys_in)
+
+
+def band_enabled() -> bool:
+    """Whether eval-path convs use the band-window Pallas kernel.
+
+    Defaults to TPU-only (the CPU fallback is interpret mode — fine for
+    unit tests, far too slow for whole-model runs). Override with
+    VIRCONV_BAND=0/1.
+    """
+    import os
+    env = os.environ.get('VIRCONV_BAND')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    return jax.default_backend() == 'tpu'
+
+
+class ConvCtx:
+    """Per-(key set, geometry) conv context shared by sibling layers.
+
+    Two modes:
+      * 'nmap' — XLA gather path (training: differentiable; also the
+        correctness oracle).
+      * 'band' — band-window Pallas kernel with a jit-time ``lax.cond``
+        fallback onto the nmap path when the data-dependent window span
+        check fails, so results are exact for any input.
+    """
+
+    def __init__(self, kind, n_taps, apply_fn):
+        self.kind = kind
+        self.n_taps = n_taps
+        self._apply = apply_fn
+
+    def conv(self, feats, weights):
+        """feats (N_in, C) -> (N_out, C') for weights (K, C, C')."""
+        return self._apply(feats, weights)
+
+
+def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
+                  tile: int = 128, block: int = 256,
+                  first_wins_sources: bool = False,
+                  bf16: bool = True) -> ConvCtx:
+    """Conv context for a submanifold conv on ``st`` (sorted by key).
+
+    ``first_wins_sources``: for key sets with duplicates (the NRConv 2D
+    image-plane tensor — several voxels on one pixel), zero all but the
+    first row of each key as *sources* so the in-kernel key-equality gather
+    returns one representative twin (the reference's spconv hash likewise
+    keeps an arbitrary one).
+    """
+    ndim = st.ndim
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * ndim
+    k = 1
+    for s in kernel_size:
+        k *= int(s)
+    if not use_band:
+        nmap = build_subm_neighbor_map(st, kernel_size)
+        return ConvCtx('nmap', k,
+                       lambda f, w: gathered_conv(f, nmap, w, st.mask))
+
+    plan, keys = subm_band_plan(st, kernel_size, tile, block)
+    if first_wins_sources:
+        is_first = jnp.concatenate(
+            [jnp.array([True]), keys[1:] != keys[:-1]])
+        src_sel = (st.mask & is_first)[:, None]
+    else:
+        src_sel = None
+
+    def apply_fn(feats, weights):
+        from .pallas.band_conv import band_conv
+        interp = jax.default_backend() != 'tpu'
+        src = feats if src_sel is None else jnp.where(src_sel, feats, 0.0)
+
+        def fast(f):
+            return band_conv(f, keys, plan, weights, bf16=bf16,
+                             interpret=interp)
+
+        def slow(f):
+            nmap = build_subm_neighbor_map(st, kernel_size)
+            return gathered_conv(f, nmap, weights, st.mask)
+
+        return jax.lax.cond(plan.span_ok, fast, slow, src)
+    return ConvCtx('band', k, apply_fn)
+
+
+def strided_conv_ctx(st_in: SparseTensor, st_out: SparseTensor, stride,
+                     padding, kernel_size, use_band: bool,
+                     tile: int = 128, block: int = 512,
+                     bf16: bool = True) -> ConvCtx:
+    """Conv context for a strided conv st_in -> st_out (both sorted)."""
+    ndim = st_in.ndim
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * ndim
+    k = 1
+    for s in kernel_size:
+        k *= int(s)
+    if not use_band:
+        nmap = build_strided_neighbor_map(st_in, st_out, stride, padding,
+                                          kernel_size)
+        return ConvCtx('nmap', k,
+                       lambda f, w: gathered_conv(f, nmap, w, st_out.mask))
+
+    plan, keys = strided_band_plan(st_in, st_out, stride, padding,
+                                   kernel_size, tile, block)
+
+    def apply_fn(feats, weights):
+        from .pallas.band_conv import band_conv
+        interp = jax.default_backend() != 'tpu'
+
+        def fast(f):
+            return band_conv(f, keys, plan, weights, bf16=bf16,
+                             interpret=interp)
+
+        def slow(f):
+            nmap = build_strided_neighbor_map(st_in, st_out, stride,
+                                              padding, kernel_size)
+            return gathered_conv(f, nmap, weights, st_out.mask)
+
+        return jax.lax.cond(plan.span_ok, fast, slow, feats)
+    return ConvCtx('band', k, apply_fn)
 
 
 def to_dense(st: SparseTensor) -> jnp.ndarray:
@@ -392,7 +624,10 @@ def voxelize(points: jnp.ndarray, points_mask: jnp.ndarray,
     if batch_idx is None:
         batch_idx = jnp.zeros((points.shape[0],), dtype=jnp.int32)
 
-    key = ((batch_idx * gz + vox[:, 2]) * gy + vox[:, 1]) * gx + vox[:, 0]
+    # canonical (b, y, x, z) linearization — must match coords_to_keys
+    strides, m = key_strides(spatial_shape)       # spatial = (gz, gy, gx)
+    key = (batch_idx * m + vox[:, 2] * strides[0]
+           + vox[:, 1] * strides[1] + vox[:, 0] * strides[2])
     key = jnp.where(valid, key.astype(jnp.int32), INVALID_KEY)
 
     order = jnp.argsort(key, stable=True)   # stable: keeps point order in voxel
