@@ -29,6 +29,11 @@ def parse_config():
     parser.add_argument('--eval_all', action='store_true')
     parser.add_argument('--max_waiting_mins', type=int, default=30)
     parser.add_argument('--save_to_file', action='store_true')
+    parser.add_argument('--launcher', choices=['none', 'jax'],
+                        default='none',
+                        help="'jax' initializes multi-process JAX and "
+                             'shards eval across processes '
+                             '(reference dist_test.sh)')
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -45,13 +50,17 @@ def eval_one_ckpt(args, cfg, ckpt_path, logger, output_dir):
     from virconv_tpu.train.eval_loop import eval_one_ckpt as _eval
     return _eval(cfg, ckpt_path, logger, output_dir,
                  batch_size=args.batch_size, workers=args.workers,
-                 save_to_file=args.save_to_file)
+                 save_to_file=args.save_to_file,
+                 dist_eval=args.launcher == 'jax')
 
 
 def main():
     args, cfg = parse_config()
     from virconv_tpu.utils import common as common_utils
     import jax
+    if args.launcher == 'jax':
+        from virconv_tpu.parallel.dist import init_distributed
+        init_distributed()
     jax.config.update('jax_compilation_cache_dir',
                       str(Path('.jax_cache').resolve()))
 

@@ -15,18 +15,25 @@ import numpy as np
 
 
 def eval_one_ckpt(cfg, ckpt_path, logger, output_dir, batch_size=1,
-                  workers=4, save_to_file=False, max_batches=None):
+                  workers=4, save_to_file=False, max_batches=None,
+                  dist_eval=False):
+    """Evaluate one checkpoint. With ``dist_eval`` under a multi-process
+    JAX launch, each process evaluates its pad+stride shard and the partial
+    results merge via the file-based ``merge_results_dist`` analog
+    (reference ``eval_utils.py:79-82``); rank 0 returns the metric."""
     import jax
     from ..datasets import build_dataloader
     from ..models.detectors.voxel_rcnn import VoxelRCNN
+    from ..parallel.dist import get_dist_info, merge_results_dist
     from ..utils.metrics import compute_recall
     from ..utils.postprocess import post_process_batch
     from .trainer import load_checkpoint
 
+    rank, world_size = get_dist_info() if dist_eval else (0, 1)
     dataset, loader, _ = build_dataloader(
         dataset_cfg=cfg.DATA_CONFIG, class_names=cfg.CLASS_NAMES,
         batch_size=batch_size, workers=workers, logger=logger,
-        training=False)
+        training=False, num_shards=world_size, shard_id=rank)
 
     model = VoxelRCNN(model_cfg=cfg.MODEL, dataset_cfg=cfg.DATA_CONFIG,
                       num_class=len(cfg.CLASS_NAMES))
@@ -69,6 +76,13 @@ def eval_one_ckpt(cfg, ckpt_path, logger, output_dir, batch_size=1,
         logger.info('sec_per_example: %.4f' % (t_total / n_frames))
     for key, (hit, tot) in sorted(recalls.items()):
         logger.info('%s: %.4f (%d/%d)' % (key, hit / max(tot, 1), hit, tot))
+    if world_size > 1:
+        # file-based partial-result merge (reference eval_utils.py:79-82)
+        det_annos = merge_results_dist(
+            det_annos, len(dataset),
+            Path(output_dir) / 'tmp_result_merge')
+        if rank != 0:
+            return None
     if not det_annos:
         return {}
     result_str, result_dict = dataset.evaluation(det_annos, cfg.CLASS_NAMES)
