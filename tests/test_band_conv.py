@@ -139,3 +139,64 @@ def test_span_overflow_flags_not_ok():
     st = sp.sort_by_key(st)
     plan, keys = sp.subm_band_plan(st, 3, tile=16, block=16)
     assert not bool(plan.span_ok)
+
+
+def test_band_ctx_patches_overflow_tiles_exactly():
+    """Rows of tiles whose window overflows the two-block span must be
+    patched by the fixed-capacity gather path so the band ctx stays exact
+    (no global fallback)."""
+    rng = np.random.default_rng(7)
+    # dense slabs force some tiles' neighbor bands past a tiny block size
+    coords = []
+    for y in range(4):
+        for x in range(24):
+            for z in range(6):
+                if rng.uniform() < (0.95 if y in (1, 2) else 0.25):
+                    coords.append((0, z, y, x))
+    coords = np.asarray(coords, np.int32)
+    n = len(coords)
+    cap = n + 37
+    st = sp.SparseTensor(
+        feats=jnp.asarray(
+            np.pad(rng.standard_normal((n, 4)), ((0, 37), (0, 0))
+                   ).astype(np.float32)),
+        coords=jnp.asarray(np.pad(coords, ((0, 37), (0, 0)),
+                                  constant_values=-1)),
+        mask=jnp.asarray(np.arange(cap) < n),
+        spatial_shape=(6, 4, 24), batch_size=1)
+    st = sp.sort_by_key(st)
+    w = (rng.standard_normal((27, 4, 6)) * 0.2).astype(np.float32)
+
+    plan, _ = sp.subm_band_plan(st, 3, tile=16, block=32)
+    assert not bool(plan.span_ok)        # overflow tiles exist...
+    assert bool(plan.fits.any())         # ...but not everywhere
+
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    want = np.asarray(sp.gathered_conv(st.feats, nmap, jnp.asarray(w),
+                                       st.mask))
+    ctx = sp.subm_conv_ctx(st, 3, use_band=True, tile=16, block=32,
+                           bf16=False)
+    got = np.asarray(ctx.conv(st.feats, jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_band_ctx_falls_back_when_patch_overflows(monkeypatch):
+    """bad rows > patch capacity -> the exact full-nmap fallback runs."""
+    rng = np.random.default_rng(8)
+    monkeypatch.setattr(sp, 'BAND_PATCH_CAP', 8)
+    st = make_random_sparse(rng, batch_size=1, spatial=(6, 4, 24),
+                            n_valid=500, capacity=512, channels=4)
+    w = (rng.standard_normal((27, 4, 6)) * 0.2).astype(np.float32)
+    plan, _ = sp.subm_band_plan(st, 3, tile=16, block=16)
+    if bool(plan.span_ok):          # force a data set with overflow
+        st = sp.sort_by_key(st.replace(
+            coords=jnp.where(st.coords >= 0, st.coords % 4, st.coords)))
+        plan, _ = sp.subm_band_plan(st, 3, tile=16, block=16)
+    assert not bool(plan.span_ok)
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    want = np.asarray(sp.gathered_conv(st.feats, nmap, jnp.asarray(w),
+                                       st.mask))
+    ctx = sp.subm_conv_ctx(st, 3, use_band=True, tile=16, block=16,
+                           bf16=False)
+    got = np.asarray(ctx.conv(st.feats, jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, atol=1e-4)

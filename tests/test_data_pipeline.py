@@ -16,90 +16,12 @@ from virconv_tpu.config import CfgNode, cfg_from_yaml_file
 
 @pytest.fixture(scope='module')
 def mini_kitti(tmp_path_factory):
-    root = tmp_path_factory.mktemp('kitti')
-    rng = np.random.default_rng(0)
-    (root / 'ImageSets').mkdir()
-    for sub in ('velodyne', 'velodyne_depth', 'calib', 'label_2', 'planes',
-                'image_2'):
-        (root / 'training' / sub).mkdir(parents=True)
-
-    frame_ids = ['000000', '000001', '000002', '000003']
-    calib_txt = (
-        'P0: 707.0 0.0 601.8 0.0 0.0 707.0 183.1 0.0 0.0 0.0 1.0 0.0\n'
-        'P1: 707.0 0.0 601.8 0.0 0.0 707.0 183.1 0.0 0.0 0.0 1.0 0.0\n'
-        'P2: 707.0 0.0 601.8 45.7 0.0 707.0 183.1 -0.3 0.0 0.0 1.0 0.004\n'
-        'P3: 707.0 0.0 601.8 0.0 0.0 707.0 183.1 0.0 0.0 0.0 1.0 0.0\n'
-        'R0_rect: 0.9999 0.0098 -0.0074 -0.0099 0.9999 -0.0043 0.0074 '
-        '0.0044 0.9999\n'
-        'Tr_velo_to_cam: 0.0075 -0.9999 -0.0002 -0.0040 0.0029 0.0002 '
-        '-1.0 -0.0763 0.9999 0.0075 0.0029 -0.2718\n'
-        'Tr_imu_to_velo: 1.0 0.0 0.0 0.0 0.0 1.0 0.0 0.0 0.0 0.0 1.0 0.0\n')
-
-    from virconv_tpu.utils.calibration import Calibration
-
-    for fid in frame_ids:
-        import cv2
-        cv2.imwrite(str(root / 'training' / 'image_2' / f'{fid}.png'),
-                    np.zeros((375, 1242, 3), np.uint8))
-        with open(root / 'training' / 'calib' / f'{fid}.txt', 'w') as f:
-            f.write(calib_txt)
-        calib = Calibration(root / 'training' / 'calib' / f'{fid}.txt')
-
-        # objects in front of the ego, in camera frame
-        n_obj = 3
-        labels = []
-        boxes_lidar = []
-        for i in range(n_obj):
-            x_l = 10.0 + 12 * i + rng.uniform(-1, 1)
-            y_l = rng.uniform(-3, 3)
-            z_l = -1.0
-            loc_cam = calib.lidar_to_rect(
-                np.array([[x_l, y_l, z_l - 1.56 / 2 + 1.56 / 2]]))[0]
-            # bottom-center in camera frame
-            loc_cam[1] += 1.56 / 2
-            ry = rng.uniform(-np.pi, np.pi)
-            labels.append(
-                f'Car 0.0 0 0.0 300.0 150.0 400.0 250.0 '
-                f'1.56 1.60 3.90 {loc_cam[0]:.2f} {loc_cam[1]:.2f} '
-                f'{loc_cam[2]:.2f} {ry:.2f}')
-            boxes_lidar.append([x_l, y_l, z_l, 3.9, 1.6, 1.56,
-                                -(np.pi / 2 + ry)])
-        with open(root / 'training' / 'label_2' / f'{fid}.txt', 'w') as f:
-            f.write('\n'.join(labels) + '\n')
-        with open(root / 'training' / 'planes' / f'{fid}.txt', 'w') as f:
-            f.write('# Plane\nWidth 4\nHeight 1\n0.0 -1.0 0.0 -1.73\n')
-
-        # mm points: background + in-box clusters, 8-dim
-        n_bg = 4000
-        pts = np.zeros((n_bg, 8), np.float32)
-        pts[:, 0] = rng.uniform(1, 68, n_bg)
-        pts[:, 1] = rng.uniform(-30, 30, n_bg)
-        pts[:, 2] = rng.uniform(-2.5, 0.5, n_bg)
-        pts[:, 3] = rng.uniform(0, 10, n_bg)
-        pts[:, 4:7] = rng.uniform(0, 0.33, (n_bg, 3))
-        pts[:, 7] = rng.integers(1, 3, n_bg)
-        clusters = []
-        for b in boxes_lidar:
-            m = 200
-            c = np.zeros((m, 8), np.float32)
-            c[:, 0] = b[0] + rng.uniform(-1.5, 1.5, m)
-            c[:, 1] = b[1] + rng.uniform(-0.7, 0.7, m)
-            c[:, 2] = b[2] + rng.uniform(-0.7, 0.7, m)
-            c[:, 3] = rng.uniform(0, 10, m)
-            c[:, 7] = rng.integers(1, 3, m)
-            clusters.append(c)
-        mm = np.concatenate([pts] + clusters)
-        np.save(root / 'training' / 'velodyne_depth' / f'{fid}.npy',
-                mm.astype(np.float16))
-        mm[:, 4:8] = 0
-        mm[:, :4].astype(np.float32).tofile(
-            root / 'training' / 'velodyne' / f'{fid}.bin')
-
-    with open(root / 'ImageSets' / 'train.txt', 'w') as f:
-        f.write('\n'.join(frame_ids[:3]) + '\n')
-    with open(root / 'ImageSets' / 'val.txt', 'w') as f:
-        f.write('\n'.join(frame_ids[3:]) + '\n')
-    return root
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'tools'))
+    from make_mini_kitti import build_mini_kitti
+    return build_mini_kitti(tmp_path_factory.mktemp('kitti'), n_frames=4,
+                            seed=0, n_train=3)
 
 
 def make_dataset_cfg(root, rot_num=2):

@@ -50,6 +50,9 @@ class BandPlan(NamedTuple):
     #                            bit ROW_VALID_BIT: row valid)
     blk: jnp.ndarray           # (n_tiles, G) int32 window start block
     span_ok: jnp.ndarray       # () bool: every window fits 2 blocks
+    fits: jnp.ndarray          # (n_tiles,) bool: this tile's windows fit —
+    #                            rows of non-fitting tiles need the gather
+    #                            patch (sparse.py band ctxs)
     deltas: Tuple[int, ...]    # static per-tap key deltas
     group_of: Tuple[int, ...]  # static tap -> group id
     n_out: int                 # unpadded output row count
@@ -99,16 +102,20 @@ def band_plan(keys: jnp.ndarray, base_keys: jnp.ndarray,
         hi_list.append(bmax + dmax)
     lo_q = jnp.stack(lo_list, 1)                                # (n_tiles, G)
     hi_q = jnp.stack(hi_list, 1)
-    lo_pos = jnp.searchsorted(keys, lo_q.reshape(-1), side='left',
-                              method='sort').astype(jnp.int32)
-    hi_pos = jnp.searchsorted(keys, hi_q.reshape(-1), side='right',
-                              method='sort').astype(jnp.int32)
+    # searchsorted as a broadcast compare-count: a (Q, N_in) bool reduce
+    # fuses into a few VPU passes (~100x faster here than the sort-based
+    # jnp.searchsorted, measured 97ms -> ~1ms at 40k rows).
+    lo_pos = (keys[None, :] < lo_q.reshape(-1, 1)).sum(
+        axis=1, dtype=jnp.int32)
+    hi_pos = (keys[None, :] <= hi_q.reshape(-1, 1)).sum(
+        axis=1, dtype=jnp.int32)
     lo_pos = lo_pos.reshape(n_tiles, n_groups)
     hi_pos = hi_pos.reshape(n_tiles, n_groups)
     blk = jnp.clip(lo_pos // block, 0, n_blocks - 2)
-    fits = hi_pos <= (blk + 2) * block
-    span_ok = jnp.where(any_valid[:, None], fits, True).all()
-    return BandPlan(bq_t, vb_t, blk, span_ok, deltas, group_of,
+    fits_g = hi_pos <= (blk + 2) * block
+    fits = jnp.where(any_valid[:, None], fits_g, True).all(axis=1)
+    span_ok = fits.all()
+    return BandPlan(bq_t, vb_t, blk, span_ok, fits, deltas, group_of,
                     n_out, tile, block)
 
 
@@ -125,22 +132,32 @@ def _kernel(blk_ref, qk_ref, vb_ref, *refs, tile, block, deltas, group_of,
     out_ref = refs[nxt]
 
     dt = jnp.bfloat16 if bf16 else jnp.float32
-    qk = qk_ref[0]                                           # (T,)
-    vb = vb_ref[0]
-    row_ok = (vb >> ROW_VALID_BIT) & 1
+    # All operands stay >=2-D: mosaic supports neither 1-D concatenate nor
+    # 1-D->2-D reshape, so per-tile keys/bits load as (T, 1) columns and
+    # window keys as (1, B) rows; broadcasting builds the (T, B) one-hot.
+    qk = qk_ref[0]                                           # (T, 1)
+    vb = vb_ref[0]                                           # (T, 1)
+    row_ok = (vb >> ROW_VALID_BIT) & 1                       # (T, 1)
     gathers = [None] * k
     for g in range(n_groups):
-        wk = jnp.concatenate([kref[2 * g][0], kref[2 * g + 1][0]])  # (2B,)
-        wf = jnp.concatenate([fref[2 * g][:], fref[2 * g + 1][:]],
-                             axis=0).astype(dt)              # (2B, C)
-        dd = wk[None, :] - qk[:, None]                       # (T, 2B)
+        # Two window halves handled separately; per-tap gather =
+        # eq_a @ wf_a + eq_b @ wf_b (same FLOPs as one 2B-wide matmul).
+        dds, wfs = [], []
+        for h in (0, 1):
+            wk = kref[2 * g + h][0]                          # (1, B)
+            wfs.append(fref[2 * g + h][:].astype(dt))        # (B, C)
+            dds.append(wk - qk)                              # (T, B)
         for t in range(k):
             if group_of[t] != g:
                 continue
-            bit = ((vb >> t) & 1) == 1                       # (T,)
-            eq = (dd == deltas[t]) & bit[:, None]
-            gathers[t] = jnp.dot(eq.astype(dt), wf,
-                                 preferred_element_type=jnp.float32)
+            bit = ((vb >> t) & 1) == 1                       # (T, 1)
+            acc = None
+            for h in (0, 1):
+                eq = (dds[h] == deltas[t]) & bit
+                part = jnp.dot(eq.astype(dt), wfs[h],
+                               preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+            gathers[t] = acc
     gcat = jnp.concatenate(gathers, axis=1)                  # (T, K*C)
     out = jnp.dot(gcat.astype(dt), w_ref[:].astype(dt),
                   preferred_element_type=jnp.float32)
@@ -148,7 +165,7 @@ def _kernel(blk_ref, qk_ref, vb_ref, *refs, tile, block, deltas, group_of,
         out = out * scale_ref[0][None, :] + bias_ref[0][None, :]
     if relu:
         out = jnp.maximum(out, 0.0)
-    out_ref[:] = out * row_ok[:, None].astype(out.dtype)
+    out_ref[:] = out * row_ok.astype(out.dtype)
 
 
 def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
@@ -176,7 +193,10 @@ def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
     feats = jnp.pad(feats, ((0, pad), (0, 0)))
     keys_p = jnp.pad(keys, (0, pad), constant_values=INVALID_KEY)
     n_blocks = (n_in + pad) // block
-    keys2d = keys_p.reshape(n_blocks, block)
+    # Singleton middle dim so each block's last-two dims are (1, 128k) —
+    # equal to the array dims — satisfying the mosaic block-shape rule
+    # (last two dims divisible by (8, 128) or equal to the array's).
+    keys2d = keys_p.reshape(n_blocks, 1, block)
     n_tiles = plan.base_keys.shape[0]
 
     affine = scale is not None
@@ -186,8 +206,9 @@ def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
         affine=affine)
 
     def key_spec(g, off):
-        return pl.BlockSpec((1, block),
-                            lambda i, blk, g=g, off=off: (blk[i, g] + off, 0))
+        return pl.BlockSpec(
+            (1, 1, block),
+            lambda i, blk, g=g, off=off: (blk[i, g] + off, 0, 0))
 
     def feat_spec(g, off):
         return pl.BlockSpec(
@@ -207,8 +228,8 @@ def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda i, blk: (i, 0)),   # base keys
-            pl.BlockSpec((1, tile), lambda i, blk: (i, 0)),   # valid bits
+            pl.BlockSpec((1, tile, 1), lambda i, blk: (i, 0, 0)),  # base keys
+            pl.BlockSpec((1, tile, 1), lambda i, blk: (i, 0, 0)),  # valid bits
             *kspecs, *fspecs,
             pl.BlockSpec((k * c_in, c_out), lambda i, blk: (0, 0)),
             *extra_specs,
@@ -221,7 +242,7 @@ def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c_out), jnp.float32),
         interpret=interpret,
-    )(plan.blk, plan.base_keys, plan.valid_bits,
+    )(plan.blk, plan.base_keys[:, :, None], plan.valid_bits[:, :, None],
       *([keys2d] * (2 * n_groups)),
       *([feats] * (2 * n_groups)),
       weights.reshape(k * c_in, c_out).astype(wdt),

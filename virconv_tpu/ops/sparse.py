@@ -466,9 +466,13 @@ class ConvCtx:
     Two modes:
       * 'nmap' — XLA gather path (training: differentiable; also the
         correctness oracle).
-      * 'band' — band-window Pallas kernel with a jit-time ``lax.cond``
-        fallback onto the nmap path when the data-dependent window span
-        check fails, so results are exact for any input.
+      * 'band' — band-window Pallas kernel plus a fixed-capacity gather
+        patch: rows of tiles whose window exceeds the two-block span
+        (a handful of slab-straddling tiles per scale, measured <=0.5%
+        of rows) are recomputed exactly via a small neighbor map. If the
+        patch capacity overflows (never observed at KITTI occupancy), a
+        jit-time ``lax.cond`` falls back to the full nmap path, so the
+        result is exact for any input.
     """
 
     def __init__(self, kind, n_taps, apply_fn):
@@ -479,6 +483,46 @@ class ConvCtx:
     def conv(self, feats, weights):
         """feats (N_in, C) -> (N_out, C') for weights (K, C, C')."""
         return self._apply(feats, weights)
+
+
+BAND_PATCH_CAP = 2048
+
+
+def _band_patch(plan, lookup_fn, first_index=None, patch_cap=None):
+    """Gather-patch plan for rows of non-fitting band tiles.
+
+    Returns (idx, valid, pnmap, cnt, cap): up to ``cap`` row indices whose
+    band output must be replaced, their validity, a (cap, K) neighbor map
+    (built with the same lookup as the nmap oracle), the true bad-row
+    count (cnt > cap -> caller must fall back), and the static cap.
+    ``first_index``: optional duplicate-key representative remap so the
+    patch matches the in-kernel first-wins gather semantics (2D tensors).
+    """
+    from .pallas.band_conv import INVALID_KEY, ROW_VALID_BIT
+    if patch_cap is None:
+        patch_cap = BAND_PATCH_CAP   # read at call time (testable)
+    n_out = plan.n_out
+    k = len(plan.deltas)
+    flat_base = plan.base_keys.reshape(-1)[:n_out]
+    flat_bits = plan.valid_bits.reshape(-1)[:n_out]
+    row_ok = ((flat_bits >> ROW_VALID_BIT) & 1) == 1
+    bad = jnp.repeat(~plan.fits, plan.tile)[:n_out] & row_ok
+    cnt = bad.sum()
+    cap = min(patch_cap, n_out)
+    # first `cap` bad rows in index order (good rows fill unused slots)
+    sel = bad.astype(jnp.int32) * (n_out + 1) - jnp.arange(
+        n_out, dtype=jnp.int32)
+    _, idx = jax.lax.top_k(sel, cap)
+    valid = bad[idx]
+    deltas = jnp.asarray(plan.deltas, jnp.int32)
+    tap_ok = ((flat_bits[idx][:, None] >> jnp.arange(k)) & 1) == 1
+    nkey = jnp.where(tap_ok & valid[:, None],
+                     flat_base[idx][:, None] + deltas[None, :], INVALID_KEY)
+    pnmap = lookup_fn(nkey.reshape(-1)).reshape(cap, k)
+    if first_index is not None:
+        pnmap = jnp.where(pnmap >= 0, first_index[jnp.maximum(pnmap, 0)],
+                          pnmap)
+    return idx, valid, pnmap, cnt, cap
 
 
 def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
@@ -505,12 +549,20 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
                        lambda f, w: gathered_conv(f, nmap, w, st.mask))
 
     plan, keys = subm_band_plan(st, kernel_size, tile, block)
+    first_index = None
     if first_wins_sources:
         is_first = jnp.concatenate(
             [jnp.array([True]), keys[1:] != keys[:-1]])
         src_sel = (st.mask & is_first)[:, None]
+        # representative (first) row per duplicate key run, so the gather
+        # patch matches the in-kernel first-wins sum over zeroed twins
+        first_index = jax.lax.cummax(
+            jnp.where(is_first, jnp.arange(keys.shape[0], dtype=jnp.int32),
+                      0))
     else:
         src_sel = None
+    pidx, pvalid, pnmap, bad_cnt, pcap = _band_patch(
+        plan, make_lookup(st), first_index)
 
     def apply_fn(feats, weights):
         from .pallas.band_conv import band_conv
@@ -518,20 +570,23 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
         src = feats if src_sel is None else jnp.where(src_sel, feats, 0.0)
 
         def fast(f):
-            return band_conv(f, keys, plan, weights, bf16=bf16,
-                             interpret=interp)
+            out = band_conv(f, keys, plan, weights, bf16=bf16,
+                            interpret=interp)
+            patch = gathered_conv(f, pnmap, weights, pvalid)
+            return out.at[pidx].set(
+                jnp.where(pvalid[:, None], patch, out[pidx]))
 
         def slow(f):
             nmap = build_subm_neighbor_map(st, kernel_size)
             return gathered_conv(f, nmap, weights, st.mask)
 
-        return jax.lax.cond(plan.span_ok, fast, slow, src)
+        return jax.lax.cond(bad_cnt <= pcap, fast, slow, src)
     return ConvCtx('band', k, apply_fn)
 
 
 def strided_conv_ctx(st_in: SparseTensor, st_out: SparseTensor, stride,
                      padding, kernel_size, use_band: bool,
-                     tile: int = 128, block: int = 512,
+                     tile: int = 128, block: int = 256,
                      bf16: bool = True) -> ConvCtx:
     """Conv context for a strided conv st_in -> st_out (both sorted)."""
     ndim = st_in.ndim
@@ -548,21 +603,25 @@ def strided_conv_ctx(st_in: SparseTensor, st_out: SparseTensor, stride,
 
     plan, keys = strided_band_plan(st_in, st_out, stride, padding,
                                    kernel_size, tile, block)
+    pidx, pvalid, pnmap, bad_cnt, pcap = _band_patch(plan, make_lookup(st_in))
 
     def apply_fn(feats, weights):
         from .pallas.band_conv import band_conv
         interp = jax.default_backend() != 'tpu'
 
         def fast(f):
-            return band_conv(f, keys, plan, weights, bf16=bf16,
-                             interpret=interp)
+            out = band_conv(f, keys, plan, weights, bf16=bf16,
+                            interpret=interp)
+            patch = gathered_conv(f, pnmap, weights, pvalid)
+            return out.at[pidx].set(
+                jnp.where(pvalid[:, None], patch, out[pidx]))
 
         def slow(f):
             nmap = build_strided_neighbor_map(st_in, st_out, stride,
                                               padding, kernel_size)
             return gathered_conv(f, nmap, weights, st_out.mask)
 
-        return jax.lax.cond(plan.span_ok, fast, slow, feats)
+        return jax.lax.cond(bad_cnt <= pcap, fast, slow, feats)
     return ConvCtx('band', k, apply_fn)
 
 
