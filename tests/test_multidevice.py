@@ -83,8 +83,11 @@ def test_train_step_8dev_matches_1dev(model_and_batch):
     # psum, shard-local loss) moves params far beyond one step.
     lr0 = OPT_CFG.LR / OPT_CFG.DIV_FACTOR
     _tree_allclose(params1, params8, atol=3 * lr0, rtol=1e-3)
-    # BN stats are the reference's SyncBN: global-batch moments either way
-    _tree_allclose(stats1, stats8, atol=1e-5)
+    # BN stats are the reference's SyncBN: global-batch moments either way.
+    # GSPMD reduction blocking drifts the moments by ~1e-5 absolute through
+    # the 14 BN layers; a missing sync would show O(1) relative error
+    # (each shard would carry different-data moments).
+    _tree_allclose(stats1, stats8, atol=2e-4, rtol=0.01)
 
 
 def test_eval_forward_sharded_matches_replicated(model_and_batch):

@@ -411,9 +411,14 @@ class TEDMHead(nn.Module):
                 cls = st_t[f'rcnn_cls{branch}']
                 reg = st_t[f'rcnn_reg{branch}']
                 c = self._cls_loss(cls, tgt) * loss_weights['rcnn_cls_weight']
-                r = self._reg_loss(reg, st_t['rois'], tgt, loss_weights,
-                                   code_weights)
+                r, terms = self._reg_loss(reg, st_t['rois'], tgt,
+                                          loss_weights, code_weights)
                 total = total + w * (c + r)
+                if branch == '':
+                    # per-term observability (l1 / corner / bb / fg count):
+                    # used to localize training-loss spikes
+                    for name, val in terms.items():
+                        tb[f'rcnn_reg_{name}_s{s}'] = val
             tb[f'rcnn_cls_s{s}'] = self._cls_loss(st_t['rcnn_cls'], tgt)
         tb['rcnn_loss'] = total
         return total, tb
@@ -438,18 +443,20 @@ class TEDMHead(nn.Module):
         reg_targets = self.coder.encode(gt_ct, rois_anchor)
         l1 = weighted_smooth_l1(rcnn_reg[None], reg_targets[None], fg[None],
                                 code_weights=code_weights)
-        loss = l1.sum() / fg_sum * loss_weights['rcnn_reg_weight']
+        l1_term = l1.sum() / fg_sum * loss_weights['rcnn_reg_weight']
 
         # corner loss on decoded fg boxes vs gt_of_rois_src
         dec = self.decode_boxes(rois.reshape(1, -1, code),
                                 rcnn_reg.reshape(1, -1, code))[0]
         gt_src = tgt['gt_of_rois_src'][..., :code].reshape(-1, code)
         corner = box_ops.corner_loss(dec, gt_src)
-        loss = loss + (corner * fg).sum() / fg_sum \
+        corner_term = (corner * fg).sum() / fg_sum \
             * loss_weights['rcnn_corner_weight']
 
         # bb_loss in canonical frame
         canon = self.coder.decode(rcnn_reg.reshape(-1, code), rois_anchor)
         bb = box_ops.bb_loss(canon, gt_ct) * fg
-        loss = loss + bb.sum() / (fg.sum() + 1.0)
-        return loss
+        bb_term = bb.sum() / (fg.sum() + 1.0)
+        loss = l1_term + corner_term + bb_term
+        return loss, {'l1': l1_term, 'corner': corner_term, 'bb': bb_term,
+                      'fg': fg.sum()}
