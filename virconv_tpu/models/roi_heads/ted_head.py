@@ -32,7 +32,7 @@ from ...ops import sparse as sp
 from ...utils import transforms as tr
 from ..layers import DenseConvBlock, MaskedBatchNorm
 from .target_assign import proposal_targets
-from .voxel_pool import NeighborVoxelSAModule
+from .voxel_pool import NeighborVoxelSAModule, build_row_table
 
 
 class PositionalEmbedding(nn.Module):
@@ -210,7 +210,7 @@ class TEDMHead(nn.Module):
         self.coder = box_ops.ResidualCoder()
 
     def _roi_grid_pool(self, pool_modules, pool_cfg, feats_3d, strides, rois,
-                       roi_valid, entry_idx, train):
+                       roi_valid, entry_idx, train, tables=None):
         """Pool roi grid features from one stream. rois (B, N, 7)."""
         b, n = rois.shape[0], rois.shape[1]
         g = pool_cfg.GRID_SIZE
@@ -233,7 +233,8 @@ class TEDMHead(nn.Module):
             qc = jnp.stack([be, cz, cy, cx], -1).reshape(-1, 4)
             pooled = pool_modules[src](
                 st, stride, grid_xyz.reshape(-1, 3), qc,
-                qmask.reshape(-1), train)                     # (B*N*g^3, C)
+                qmask.reshape(-1), train,
+                table=None if tables is None else tables[src])  # (B*N*g^3, C)
             outs.append(pooled)
         pooled = jnp.concatenate(outs, -1)
         return pooled.reshape(b * n, -1), qmask.reshape(b * n, g ** 3)[:, 0]
@@ -289,6 +290,16 @@ class TEDMHead(nn.Module):
             x = self.part_conv1(bev_feats, train)
             parts_feat = self.part_conv2(x)                   # (B, H, W, 49)
 
+        # voxel-key -> row tables, hoisted: the pooled key sets don't change
+        # across cascade stages, so build each stream/scale table once per
+        # frame instead of 3x (stage loop) — these are dense scatters, the
+        # slowest primitive class on TPU (docs/DESIGN.md S8).
+        head_cfg = CfgNode(self.model_cfg)
+        tables_lidar = {src: build_row_table(feats_lidar[src])
+                        for src in head_cfg.ROI_GRID_POOL.FEATURES_SOURCE}
+        tables_mm = {src: build_row_table(feats_mm[src])
+                     for src in head_cfg.ROI_GRID_POOL_MM.FEATURES_SOURCE}
+
         all_preds, all_scores = [], []
         stage_targets = []
         hist, hist_mm = [], []
@@ -333,11 +344,11 @@ class TEDMHead(nn.Module):
 
             entry = entry_base + min(i, n_replicas - 1)
             pooled, pmask = self._roi_grid_pool(
-                self.pool_lidar, CfgNode(self.model_cfg).ROI_GRID_POOL, feats_lidar,
-                strides, rois, roi_valid, entry, train)
+                self.pool_lidar, head_cfg.ROI_GRID_POOL, feats_lidar,
+                strides, rois, roi_valid, entry, train, tables=tables_lidar)
             pooled_mm, _ = self._roi_grid_pool(
-                self.pool_mm, CfgNode(self.model_cfg).ROI_GRID_POOL_MM, feats_mm,
-                strides, rois, roi_valid, entry, train)
+                self.pool_mm, head_cfg.ROI_GRID_POOL_MM, feats_mm,
+                strides, rois, roi_valid, entry, train, tables=tables_mm)
             if probe_stage == f'pool{i}':   # timing probe (profile_stages)
                 return {'probe': pooled.sum() + pooled_mm.sum()}
 

@@ -13,6 +13,7 @@ max-pool — all static shapes, batched over every ROI grid point at once.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Sequence, Tuple
 
 import numpy as np
@@ -182,8 +183,9 @@ class NeighborVoxelSAModule(nn.Module):
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, stride, query_xyz, query_coords,
-                 query_mask, train: bool):
-        table = build_row_table(st)
+                 query_mask, train: bool, table=None):
+        if table is None:
+            table = build_row_table(st)
         specs = tuple((tuple(self.query_ranges[g]), self.radii[g],
                        self.nsamples[g])
                       for g in range(len(self.query_ranges)))
@@ -198,19 +200,92 @@ class NeighborVoxelSAModule(nn.Module):
             feats = MaskedBatchNorm(mid, name=f'mlp_in_bn{g}')(
                 feats, st.mask, train)
             idx, valid, centers = queries[g]
-            grouped = feats[idx] * valid[..., None]          # (M, S, mid)
-            rel = (centers - query_xyz[:, None, :]) * valid[..., None]
-            pos = nn.Dense(mid, use_bias=False, name=f'mlp_pos{g}')(rel)
-            pos = MaskedBatchNorm(mid, name=f'mlp_pos_bn{g}')(
-                pos.reshape(-1, mid),
-                jnp.broadcast_to(query_mask[:, None],
-                                 valid.shape).reshape(-1),
-                train).reshape(pos.shape)
-            x = nn.relu(grouped + pos)
-            x = jnp.where(valid[..., None], x, 0.0)
-            x = x.max(axis=1)                                 # (M, mid)
+            x = self._group_body(feats, idx, valid, centers, query_xyz,
+                                 query_mask, g, mid, train)
             x = nn.Dense(out_c, use_bias=False, name=f'mlp_out{g}')(x)
             x = MaskedBatchNorm(out_c, name=f'mlp_out_bn{g}')(
                 x, query_mask, train)
             outs.append(nn.relu(x))
         return jnp.concatenate(outs, axis=-1)
+
+    @partial(nn.remat, static_argnums=(7, 8, 9))
+    def _group_body(self, feats, idx, valid, centers, query_xyz, query_mask,
+                    g, mid, train):
+        """Gather + position-encode + max-reduce one query group.
+
+        Memory discipline (the (M, S, mid) temps here dominated train-step
+        HBM — M = B*rois*grid across 12 SA calls/step):
+          * nn.remat: nothing is saved for backward; the body recomputes.
+          * The pos-BN batch moments are computed ALGEBRAICALLY: pos =
+            rel @ W is linear in the 3-dim rel, so mean = (Σrel/n) @ W and
+            E[pos²] = diag(Wᵀ (Σ rel relᵀ / n) W) — two tiny reductions over
+            (M, S, 3) instead of materializing the (M*S, mid) pos tensor
+            for a masked-moment pass. Identical math to MaskedBatchNorm
+            (same masking: rows of valid queries, rel zeroed off-sample);
+            the gather → add → relu → max chain then fuses into the max
+            reduction without a resident (M, S, mid) buffer.
+        After the max over S everything is (M, mid)."""
+        w_pos = _PosKernel(mid, name=f'mlp_pos{g}')()    # (3, mid)
+        rel = (centers - query_xyz[:, None, :]) * valid[..., None]
+        qmask_rows = query_mask[:, None] & jnp.ones_like(valid)
+        relm = rel * qmask_rows[..., None]
+        cnt = jnp.maximum(qmask_rows.sum().astype(jnp.float32), 1.0)
+        sum_rel = relm.reshape(-1, 3).sum(0)                       # (3,)
+        s2 = relm.reshape(-1, 3).T @ relm.reshape(-1, 3)           # (3, 3)
+        mean = (sum_rel / cnt) @ w_pos                             # (mid,)
+        e2 = jnp.einsum('ic,ic->c', w_pos, (s2 / cnt) @ w_pos)
+        var = jnp.maximum(e2 - mean * mean, 0.0)
+        scale, bias = _MomentBN(mid, name=f'mlp_pos_bn{g}')(
+            mean, var, cnt, train)
+        # normalized pos, folded into one affine map of rel
+        grouped = feats[idx] * valid[..., None]          # (M, S, mid)
+        pos = rel @ w_pos
+        pos = pos * scale + bias
+        pos = jnp.where(qmask_rows[..., None], pos, 0.0)
+        x = nn.relu(grouped + pos)
+        x = jnp.where(valid[..., None], x, 0.0)
+        return x.max(axis=1)                             # (M, mid)
+
+
+class _PosKernel(nn.Module):
+    """Bare (3, mid) kernel under the param path of the former
+    ``nn.Dense(name='mlp_pos{g}')`` (checkpoint-compatible)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          (3, self.features))
+
+
+class _MomentBN(nn.Module):
+    """BatchNorm bookkeeping for externally computed batch moments.
+
+    Same param/variable names and running-stat semantics as MaskedBatchNorm
+    (torch momentum = update fraction, unbiased running var). Returns the
+    (scale', bias') of the folded affine y = x*scale' + bias'."""
+
+    features: int
+    eps: float = 1e-3
+    momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, mean, var, cnt, train: bool):
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones(self.features, jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        if train:
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mult = scale / jnp.sqrt(var + self.eps)
+        return mult, bias - mean * mult
