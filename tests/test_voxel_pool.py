@@ -3,8 +3,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from virconv_tpu.models.roi_heads.voxel_pool import (
-    _window_offsets, build_row_table, voxel_query)
+    _window_offsets, build_pool_tables, build_row_table, voxel_query)
 from virconv_tpu.ops import sparse as sp
 
 
@@ -28,14 +30,16 @@ def make_sparse(rng, spatial=(8, 20, 20), batch=2, n=120, cap=160):
     return sp.sort_by_key(st)
 
 
-def test_voxel_query_matches_bruteforce():
+@pytest.mark.parametrize('probe', ['dense', 'bits'])
+def test_voxel_query_matches_bruteforce(probe):
     rng = np.random.default_rng(0)
     spatial = (8, 20, 20)
     vs = (0.2, 0.2, 0.2)
     pcr = (0, -2, -0.8, 4, 2, 0.8)
     stride = 1
     st = make_sparse(rng, spatial)
-    table = build_row_table(st)
+    table = build_row_table(st) if probe == 'dense' \
+        else build_pool_tables(st)
 
     m = 40
     qxyz = rng.uniform([0.2, -1.8, -0.6], [3.8, 1.8, 0.6],
@@ -112,3 +116,32 @@ def test_voxel_query_chunked_matches_unchunked(monkeypatch):
     np.testing.assert_array_equal(base[1], chunked[1])
     # centers: chunked lowering fuses the float chain differently (~1e-6)
     np.testing.assert_allclose(base[2], chunked[2], rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_bits_probe_matches_dense():
+    """Production two-group nested query: packed-occupancy probe == dense
+    row-table probe (same selection order, rows, centers)."""
+    from virconv_tpu.models.roi_heads.voxel_pool import voxel_query_groups
+    rng = np.random.default_rng(7)
+    spatial = (8, 24, 24)
+    vs = (0.1, 0.1, 0.2)
+    pcr = (0, -1.2, -0.8, 2.4, 1.2, 0.8)
+    st = make_sparse(rng, spatial, n=200, cap=256)
+    m = 64
+    qxyz = rng.uniform([0.05, -1.1, -0.7], [2.35, 1.1, 0.7],
+                       (m, 3)).astype(np.float32)
+    qb = rng.integers(0, 2, m).astype(np.int32)
+    cell = np.floor((qxyz - np.array(pcr[:3])) / np.array(vs)).astype(
+        np.int32)
+    qcoords = np.stack([qb, cell[:, 2], cell[:, 1], cell[:, 0]], -1)
+    qmask = rng.random(m) < 0.9
+    specs = (((2, 2, 2), 0.25, 8), ((4, 4, 4), 0.5, 8))
+    args = (jnp.asarray(qxyz), jnp.asarray(qcoords), jnp.asarray(qmask),
+            specs, vs, 1, pcr)
+    dense = voxel_query_groups(st, build_row_table(st), *args)
+    bits = voxel_query_groups(st, build_pool_tables(st), *args)
+    for (di, dv, dc), (bi, bv, bc) in zip(dense, bits):
+        np.testing.assert_array_equal(np.asarray(dv), np.asarray(bv))
+        np.testing.assert_array_equal(np.asarray(di), np.asarray(bi))
+        np.testing.assert_allclose(np.asarray(dc), np.asarray(bc),
+                                   rtol=1e-5, atol=1e-6)

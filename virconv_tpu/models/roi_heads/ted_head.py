@@ -32,7 +32,7 @@ from ...ops import sparse as sp
 from ...utils import transforms as tr
 from ..layers import DenseConvBlock, MaskedBatchNorm
 from .target_assign import proposal_targets
-from .voxel_pool import NeighborVoxelSAModule, build_row_table
+from .voxel_pool import NeighborVoxelSAModule, build_pool_tables
 
 
 class PositionalEmbedding(nn.Module):
@@ -295,9 +295,9 @@ class TEDMHead(nn.Module):
         # frame instead of 3x (stage loop) — these are dense scatters, the
         # slowest primitive class on TPU (docs/DESIGN.md S8).
         head_cfg = CfgNode(self.model_cfg)
-        tables_lidar = {src: build_row_table(feats_lidar[src])
+        tables_lidar = {src: build_pool_tables(feats_lidar[src])
                         for src in head_cfg.ROI_GRID_POOL.FEATURES_SOURCE}
-        tables_mm = {src: build_row_table(feats_mm[src])
+        tables_mm = {src: build_pool_tables(feats_mm[src])
                      for src in head_cfg.ROI_GRID_POOL_MM.FEATURES_SOURCE}
 
         all_preds, all_scores = [], []

@@ -14,7 +14,7 @@ max-pool — all static shapes, batched over every ROI grid point at once.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Sequence, Tuple
+from typing import Any, NamedTuple, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -40,6 +40,40 @@ def build_row_table(st: sp.SparseTensor) -> jnp.ndarray:
     return table.at[flat].set(jnp.where(st.mask, rows, -1))[:size]
 
 
+class PoolTables(NamedTuple):
+    """Lookup structures for the packed-occupancy window probe.
+
+    ``occ`` stores the dense occupancy bitmap as uint32 words at a
+    16-bit stride (2x redundant): word ``k`` covers cell bits
+    [16k, 16k+32).  Any x-window of <= 24 cells starting at bit ``s`` is
+    then fully contained in the single word ``s >> 4`` (offset
+    ``s & 15`` <= 15, 15 + 9 <= 32) — one gather per (query, z, y) lane
+    instead of one per window cell.  ``rows`` is the plain cell->row
+    table, gathered only for the <= nsample selected hits.
+    """
+
+    rows: jnp.ndarray   # (size,) int32: cell -> row, -1 if empty
+    occ: jnp.ndarray    # (ceil(size/16)+pad,) uint32 16-bit-stride words
+
+
+def build_pool_tables(st: sp.SparseTensor) -> PoolTables:
+    d, h, w = st.spatial_shape
+    size = st.batch_size * d * h * w
+    rows = build_row_table(st)
+    npad = -size % 16 + 32
+    occ_bool = jnp.zeros((size + npad,), jnp.uint32)
+    flat = ((st.coords[:, 0] * d + st.coords[:, 1]) * h
+            + st.coords[:, 2]) * w + st.coords[:, 3]
+    flat = jnp.where(st.mask, flat, size)        # parked in the pad region
+    occ_bool = occ_bool.at[flat].set(st.mask.astype(jnp.uint32))
+    occ_bool = occ_bool.at[size:].set(0)
+    half = occ_bool.reshape(-1, 16)              # (n16, 16)
+    weights = (jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32))
+    half = jnp.sum(half * weights[None], axis=1, dtype=jnp.uint32)  # (n16,)
+    hi = jnp.concatenate([half[1:], jnp.zeros((1,), jnp.uint32)])
+    return PoolTables(rows=rows, occ=half | (hi << jnp.uint32(16)))
+
+
 def _window_offsets(ranges: Sequence[int], radius=None, voxel_size=None,
                     stride=1) -> np.ndarray:
     """Offsets of the query window, pruned to cells that can contain a point
@@ -60,22 +94,81 @@ def _window_offsets(ranges: Sequence[int], radius=None, voxel_size=None,
     return offs
 
 
-def _select_first(ok, safe_rows, centers, nsample):
-    """First ``nsample`` valid candidates in window-scan order, scatter-free:
-    key = K - j for valid scan index j (monotone decreasing), -1 - j
-    otherwise; top_k's descending keys == the first valid hits in order.
-    ((m, K) scatters measured ~1 s/stage on the chip; top_k is a few
-    passes.)"""
+def _select_first_idx(ok, nsample):
+    """Window-scan indices of the first ``nsample`` valid candidates,
+    scatter-free: key = K - j for valid scan index j (monotone decreasing),
+    -1 - j otherwise; top_k's descending keys == the first valid hits in
+    order. ((m, K) scatters measured ~1 s/stage on the chip; top_k is a
+    few passes.)  Returns (topidx (m, ns) int32, hit (m, ns) bool)."""
     k = ok.shape[1]
     j = jnp.arange(k, dtype=jnp.int32)
     key = jnp.where(ok, k - j, -1 - j)
     topkey, topidx = jax.lax.top_k(key, nsample)              # (m, nsample)
-    hit = topkey > 0
+    return topidx, topkey > 0
+
+
+def _select_first(ok, safe_rows, centers, nsample):
+    """First ``nsample`` valid candidates in window-scan order."""
+    topidx, hit = _select_first_idx(ok, nsample)
     rows_sel = jnp.take_along_axis(safe_rows, topidx, axis=1)
     rows_sel = jnp.where(hit, rows_sel, 0)
     csel = jnp.take_along_axis(centers, topidx[..., None], axis=1)
     csel = jnp.where(hit[..., None], csel, 0.0)
     return rows_sel, hit, csel
+
+
+def _expanded_window(ranges, radius, voxel_size, stride):
+    """(z, y) lane offsets + the full (lane x x-offset) enumeration for the
+    packed-occupancy probe.  Lanes are pruned by the 2-D reachability bound
+    (same geometry as _window_offsets); the x run is kept whole — cells the
+    3-D bound would prune can never pass the runtime distance test, and
+    subsetting a z-major enumeration preserves scan order, so the expanded
+    set selects identically."""
+    rz, ry, rx = ranges
+    nine = 2 * rx + 1
+    assert nine <= 24, 'x window must fit one 16-bit-stride word'
+    vs = np.asarray(voxel_size, np.float64)[::-1] * stride   # z, y, x
+    zz, yy = np.meshgrid(np.arange(-rz, rz + 1), np.arange(-ry, ry + 1),
+                         indexing='ij')
+    lanes = np.stack([zz, yy], -1).reshape(-1, 2).astype(np.int32)
+    gap = np.clip(np.abs(lanes) - 0.5, 0, None) * vs[:2][None]
+    lanes = lanes[np.linalg.norm(gap, axis=1) < radius]
+    dx = np.arange(-rx, rx + 1, dtype=np.int32)
+    offs = np.concatenate(
+        [np.repeat(lanes, nine, 0),
+         np.tile(dx, len(lanes))[:, None]], 1)               # (L*nine, 3)
+    return lanes, offs
+
+
+def _bit_probe(occ, lanes, nine, n_cells, qcoords, qmask, d, h, w):
+    """Occupancy of every window candidate from one uint32 gather per
+    (query, lane): the 16-bit-stride word holding the x run, shifted so bit
+    j == cell (qx - rx + j).  Edge realignment by the clamp delta doubles as
+    the x bounds test (shifted-in bits are zero).  Returns (m, L*nine)
+    bool in z-major scan order."""
+    rx = (nine - 1) // 2
+    qb, qz, qy, qx = (qcoords[:, 0], qcoords[:, 1], qcoords[:, 2],
+                      qcoords[:, 3])
+    x0 = qx - rx
+    x0c = jnp.clip(x0, 0, w - nine)
+    dpos = x0c - x0                                           # |dpos| <= rx
+    z = qz[:, None] + lanes[None, :, 0]                       # (m, L)
+    y = qy[:, None] + lanes[None, :, 1]
+    lane_ok = qmask[:, None] & (z >= 0) & (z < d) & (y >= 0) & (y < h)
+    s = ((qb[:, None] * d + z) * h + y) * w + x0c[:, None]    # start bit
+    s = jnp.clip(s, 0, n_cells - 1)
+    word = occ[s >> 4]                                        # (m, L) u32
+    win = (word >> (s & 15).astype(jnp.uint32)) \
+        & jnp.uint32((1 << nine) - 1)                         # bit j: x0c+j
+    # realign to x0: result bit j == cell x0+j == x0c + (j - dpos)
+    up = win << jnp.clip(dpos, 0, 31).astype(jnp.uint32)[:, None]
+    down = win >> jnp.clip(-dpos, 0, 31).astype(jnp.uint32)[:, None]
+    win = jnp.where((dpos >= 0)[:, None], up, down) \
+        & jnp.uint32((1 << nine) - 1)
+    win = jnp.where(lane_ok, win, jnp.uint32(0))
+    bits = (win[:, :, None]
+            >> jnp.arange(nine, dtype=jnp.uint32)[None, None]) & 1
+    return (bits > 0).reshape(qcoords.shape[0], -1)
 
 
 def voxel_query_groups(st: sp.SparseTensor, table, query_xyz, query_coords,
@@ -100,8 +193,15 @@ def voxel_query_groups(st: sp.SparseTensor, table, query_xyz, query_coords,
         assert all(a <= b for a, b in zip(rg, union_ranges)), \
             'group windows must nest'
         assert rad <= union_radius, 'group radii must nest'
-    offs_np = _window_offsets(union_ranges, radius=union_radius,
-                              voxel_size=voxel_size, stride=stride)
+    use_bits = isinstance(table, PoolTables)
+    if use_bits:
+        lanes_np, offs_np = _expanded_window(
+            union_ranges, union_radius, voxel_size, stride)
+        lanes = jnp.asarray(lanes_np)
+        nine = 2 * union_ranges[2] + 1
+    else:
+        offs_np = _window_offsets(union_ranges, radius=union_radius,
+                                  voxel_size=voxel_size, stride=stride)
     offs = jnp.asarray(offs_np)                               # (K, 3)
     # static membership of each union offset in each group's own window
     members = []
@@ -110,12 +210,38 @@ def voxel_query_groups(st: sp.SparseTensor, table, query_xyz, query_coords,
               (abs(offs_np[:, 1]) <= rg[1]) & (abs(offs_np[:, 2]) <= rg[2])
         members.append(jnp.asarray(box))
     d, h, w = st.spatial_shape
+    n_cells = st.batch_size * d * h * w
     vs = jnp.asarray(voxel_size, jnp.float32) * stride
     mins = jnp.asarray(point_cloud_range[:3], jnp.float32)
     k = offs.shape[0]
     m = query_xyz.shape[0]
 
-    def probe(qxyz, qcoords, qmask):
+    def probe_bits(qxyz, qcoords, qmask):
+        occupied = _bit_probe(table.occ, lanes, nine, n_cells, qcoords,
+                              qmask, d, h, w)                 # (m, K)
+        # candidate centers/distances from the static offset enumeration —
+        # no per-candidate gather; rows are gathered only for the selected
+        # <= nsample hits per group
+        cand = (qcoords[:, None, 3:0:-1] + offs[None, :, ::-1]).astype(
+            jnp.float32)                                      # (m, K) x,y,z
+        centers = (cand + 0.5) * vs + mins
+        dist2 = jnp.sum((centers - qxyz[:, None, :]) ** 2, -1)
+        out = []
+        for (rg, rad, nsample), member in zip(group_specs, members):
+            ok_g = occupied & member[None] & (dist2 < rad * rad)
+            topidx, hit = _select_first_idx(ok_g, nsample)
+            soff = jnp.take(offs, topidx, axis=0)             # (m, ns, 3)
+            neigh = qcoords[:, None, 1:] + soff
+            flat = ((qcoords[:, None, 0] * d + neigh[..., 0]) * h
+                    + neigh[..., 1]) * w + neigh[..., 2]
+            rows = table.rows[jnp.clip(flat, 0, n_cells - 1)]
+            rows = jnp.where(hit, jnp.maximum(rows, 0), 0)
+            csel = (neigh[..., ::-1].astype(jnp.float32) + 0.5) * vs + mins
+            csel = jnp.where(hit[..., None], csel, 0.0)
+            out.append((rows, hit, csel))
+        return tuple(out)
+
+    def probe_dense(qxyz, qcoords, qmask):
         neigh = qcoords[:, None, 1:] + offs[None]             # (m, K, 3)
         ok = qmask[:, None]
         ok = ok & (neigh[:, :, 0] >= 0) & (neigh[:, :, 0] < d)
@@ -137,6 +263,8 @@ def voxel_query_groups(st: sp.SparseTensor, table, query_xyz, query_coords,
             ok_g = ok & member[None] & (dist2 < rad * rad)
             out.append(_select_first(ok_g, safe, centers, nsample))
         return tuple(out)
+
+    probe = probe_bits if use_bits else probe_dense
 
     # chunk large query sets so the (m, K) candidate buffers stay bounded
     # (training at reference batch sizes reaches m*K in the tens of M)
@@ -185,7 +313,7 @@ class NeighborVoxelSAModule(nn.Module):
     def __call__(self, st: sp.SparseTensor, stride, query_xyz, query_coords,
                  query_mask, train: bool, table=None):
         if table is None:
-            table = build_row_table(st)
+            table = build_pool_tables(st)
         specs = tuple((tuple(self.query_ranges[g]), self.radii[g],
                        self.nsamples[g])
                       for g in range(len(self.query_ranges)))
