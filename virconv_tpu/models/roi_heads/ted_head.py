@@ -456,16 +456,21 @@ class TEDMHead(nn.Module):
                                 code_weights=code_weights)
         l1_term = l1.sum() / fg_sum * loss_weights['rcnn_reg_weight']
 
-        # corner loss on decoded fg boxes vs gt_of_rois_src
+        # corner loss on decoded fg boxes vs gt_of_rois_src. The reference
+        # indexes fg rows before decoding (roi_head_template.py:195-205);
+        # with static shapes we decode all rows instead, so zero the reg of
+        # non-fg rows first — otherwise a wild bg-row exp(d_dim) can reach
+        # inf and 0 * inf = NaN would poison the masked sum.
+        reg_fg = rcnn_reg.reshape(-1, code) * fg[:, None]
         dec = self.decode_boxes(rois.reshape(1, -1, code),
-                                rcnn_reg.reshape(1, -1, code))[0]
+                                reg_fg.reshape(1, -1, code))[0]
         gt_src = tgt['gt_of_rois_src'][..., :code].reshape(-1, code)
         corner = box_ops.corner_loss(dec, gt_src)
         corner_term = (corner * fg).sum() / fg_sum \
             * loss_weights['rcnn_corner_weight']
 
-        # bb_loss in canonical frame
-        canon = self.coder.decode(rcnn_reg.reshape(-1, code), rois_anchor)
+        # bb_loss in canonical frame (same fg-zeroed reg as the corner term)
+        canon = self.coder.decode(reg_fg, rois_anchor)
         bb = box_ops.bb_loss(canon, gt_ct) * fg
         bb_term = bb.sum() / (fg.sum() + 1.0)
         loss = l1_term + corner_term + bb_term
