@@ -180,6 +180,29 @@ def test_band_ctx_patches_overflow_tiles_exactly():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_band_ctx_exact_on_unsorted_keys():
+    """Unsorted rows (< patch capacity of them) must take the full nmap
+    fallback: the in-kernel window indexing AND the patch's searchsorted
+    lookups both assume sorted keys, and bad_cnt <= cap alone would
+    otherwise route a small unsorted tensor through the fast path."""
+    rng = np.random.default_rng(9)
+    st = make_random_sparse(rng, batch_size=1, spatial=(6, 16, 14),
+                            n_valid=300, capacity=384, channels=4)
+    # shuffle rows: keys become unsorted, tensor stays semantically valid
+    perm = jnp.asarray(rng.permutation(st.capacity))
+    st = st.replace(feats=st.feats[perm], coords=st.coords[perm],
+                    mask=st.mask[perm])
+    w = (rng.standard_normal((27, 4, 6)) * 0.2).astype(np.float32)
+    # oracle: dense-table lookup works on unsorted rows
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    want = np.asarray(sp.gathered_conv(st.feats, nmap, jnp.asarray(w),
+                                       st.mask))
+    ctx = sp.subm_conv_ctx(st, 3, use_band=True, tile=64, block=128,
+                           bf16=False)
+    got = np.asarray(ctx.conv(st.feats, jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_band_ctx_falls_back_when_patch_overflows(monkeypatch):
     """bad rows > patch capacity -> the exact full-nmap fallback runs."""
     rng = np.random.default_rng(8)

@@ -45,10 +45,10 @@ class PoolTables(NamedTuple):
 
     ``occ`` stores the dense occupancy bitmap as uint32 words at a
     16-bit stride (2x redundant): word ``k`` covers cell bits
-    [16k, 16k+32).  Any x-window of <= 24 cells starting at bit ``s`` is
-    then fully contained in the single word ``s >> 4`` (offset
-    ``s & 15`` <= 15, 15 + 9 <= 32) — one gather per (query, z, y) lane
-    instead of one per window cell.  ``rows`` is the plain cell->row
+    [16k, 16k+32).  Any x-window of <= 17 cells starting at bit ``s`` is
+    then fully contained in the single word ``s >> 4`` (start-bit offset
+    ``s & 15`` <= 15, and 15 + 17 = 32) — one gather per (query, z, y)
+    lane instead of one per window cell.  ``rows`` is the plain cell->row
     table, gathered only for the <= nsample selected hits.
     """
 
@@ -126,7 +126,9 @@ def _expanded_window(ranges, radius, voxel_size, stride):
     set selects identically."""
     rz, ry, rx = ranges
     nine = 2 * rx + 1
-    assert nine <= 24, 'x window must fit one 16-bit-stride word'
+    # 15 (max start-bit offset) + 17 window bits = 32: wider x windows
+    # would shift occupied cells out of the single probed uint32 word
+    assert nine <= 17, 'x window must fit one 16-bit-stride word'
     vs = np.asarray(voxel_size, np.float64)[::-1] * stride   # z, y, x
     zz, yy = np.meshgrid(np.arange(-rz, rz + 1), np.arange(-ry, ry + 1),
                          indexing='ij')
@@ -359,10 +361,15 @@ class NeighborVoxelSAModule(nn.Module):
         relm = rel * qmask_rows[..., None]
         cnt = jnp.maximum(qmask_rows.sum().astype(jnp.float32), 1.0)
         sum_rel = relm.reshape(-1, 3).sum(0)                       # (3,)
-        s2 = relm.reshape(-1, 3).T @ relm.reshape(-1, 3)           # (3, 3)
-        mean = (sum_rel / cnt) @ w_pos                             # (mid,)
-        e2 = jnp.einsum('ic,ic->c', w_pos, (s2 / cnt) @ w_pos)
-        var = jnp.maximum(e2 - mean * mean, 0.0)
+        mean_rel = sum_rel / cnt
+        mean = mean_rel @ w_pos                                    # (mid,)
+        # two-pass variance: center rel BEFORE the outer-product sum so the
+        # E[x^2] - mean^2 cancellation never forms (matches MaskedBatchNorm
+        # accuracy without materializing the (M*S, mid) pos tensor)
+        rc = (rel - mean_rel) * qmask_rows[..., None]
+        s2 = rc.reshape(-1, 3).T @ rc.reshape(-1, 3)               # (3, 3)
+        var = jnp.maximum(
+            jnp.einsum('ic,ic->c', w_pos, (s2 / cnt) @ w_pos), 0.0)
         scale, bias = _MomentBN(mid, name=f'mlp_pos_bn{g}')(
             mean, var, cnt, train)
         # normalized pos, folded into one affine map of rel

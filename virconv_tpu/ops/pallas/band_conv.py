@@ -53,6 +53,11 @@ class BandPlan(NamedTuple):
     fits: jnp.ndarray          # (n_tiles,) bool: this tile's windows fit —
     #                            rows of non-fitting tiles need the gather
     #                            patch (sparse.py band ctxs)
+    keys_sorted: jnp.ndarray   # () bool: input keys ascending with the
+    #                            INVALID padding as a tail. When False the
+    #                            kernel AND the gather patch are both wrong
+    #                            (lookup assumes sorted keys) — callers must
+    #                            take the full nmap fallback.
     deltas: Tuple[int, ...]    # static per-tap key deltas
     group_of: Tuple[int, ...]  # static tap -> group id
     n_out: int                 # unpadded output row count
@@ -127,8 +132,8 @@ def band_plan(keys: jnp.ndarray, base_keys: jnp.ndarray,
     keys_sorted = (keys[1:] >= keys[:-1]).all()
     fits = fits & keys_sorted
     span_ok = fits.all()
-    return BandPlan(bq_t, vb_t, blk, span_ok, fits, deltas, group_of,
-                    n_out, tile, block)
+    return BandPlan(bq_t, vb_t, blk, span_ok, fits, keys_sorted, deltas,
+                    group_of, n_out, tile, block)
 
 
 def _kernel(blk_ref, qk_ref, vb_ref, *refs, tile, block, deltas, group_of,

@@ -440,6 +440,11 @@ def subm_band_plan(st: SparseTensor, kernel_size, tile: int = 128,
     ndim = st.ndim
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size,) * ndim
+    # the +1-halo key space only de-aliases per-axis offsets within
+    # [-1, +1]; a 5^3 kernel would silently alias halo keys into
+    # neighboring rows (mirrors the padding <= 1 assert in
+    # strided_band_plan)
+    assert all(k <= 3 for k in kernel_size), kernel_size
     offsets_np = np.stack(np.meshgrid(
         *[np.arange(kk) - kk // 2 for kk in kernel_size],
         indexing='ij'), -1).reshape(-1, ndim)
@@ -629,7 +634,11 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
             nmap = build_subm_neighbor_map(st, kernel_size)
             return gathered_conv(f, nmap, weights, st.mask)
 
-        return jax.lax.cond(bad_cnt <= pcap, fast, slow, src)
+        # keys_sorted gates the cond directly: with unsorted keys BOTH the
+        # kernel and the gather patch (searchsorted lookups) are garbage,
+        # and a small tensor could otherwise still satisfy bad_cnt <= pcap.
+        return jax.lax.cond(plan.keys_sorted & (bad_cnt <= pcap),
+                            fast, slow, src)
     return ConvCtx('band', k, apply_fn)
 
 
@@ -671,7 +680,9 @@ def strided_conv_ctx(st_in: SparseTensor, st_out: SparseTensor, stride,
                                               padding, kernel_size)
             return gathered_conv(f, nmap, weights, st_out.mask)
 
-        return jax.lax.cond(bad_cnt <= pcap, fast, slow, feats)
+        # see subm_conv_ctx: unsorted keys invalidate the patch lookups too
+        return jax.lax.cond(plan.keys_sorted & (bad_cnt <= pcap),
+                            fast, slow, feats)
     return ConvCtx('band', k, apply_fn)
 
 

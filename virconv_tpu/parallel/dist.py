@@ -90,6 +90,12 @@ def merge_results_dist(result_part, size, tmpdir, rank=None,
             if pf.exists():
                 break
             time.sleep(0.1)
+        else:
+            raise RuntimeError(
+                f'merge_results_dist: rank 0 cannot see part file {pf} '
+                f'(written by rank {i}) after 10s — the barrier guarantees '
+                f'the write happened, so this is shared-filesystem '
+                f'visibility lag; extend the wait or check the tmpdir mount')
         with open(pf, 'rb') as f:
             part_list.append(pickle.load(f))
 
