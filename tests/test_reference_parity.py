@@ -117,15 +117,19 @@ def test_wbf_matches_reference(retain_low, seed):
 # ------------------------------------------------------------- KITTI AP ----
 def _synth_annos(rng, n_images=6):
     """Plausible KITTI annos: gt plus detections with jitter, misses, and
-    false positives, spanning all three difficulties."""
+    false positives, spanning all three difficulties — including the
+    metric's ignore branches: 'Van' gt (neighbor class of Car),
+    'Person_sitting' gt (neighbor of Pedestrian), 'DontCare' regions
+    (image-plane dc-overlap suppression of detections), and an empty image
+    (reference eval.py clean_data semantics)."""
     gt_annos, dt_annos = [], []
-    for _ in range(n_images):
-        n_gt = int(rng.integers(3, 8))
+    for img in range(n_images):
+        n_gt = 0 if img == n_images - 1 else int(rng.integers(3, 8))
         name, trunc, occl, alpha, bbox = [], [], [], [], []
         dims, loc, rot = [], [], []
         for g in range(n_gt):
-            cls = ['Car', 'Car', 'Car', 'Pedestrian', 'Cyclist'][
-                int(rng.integers(0, 5))]
+            cls = ['Car', 'Car', 'Car', 'Pedestrian', 'Cyclist', 'Van',
+                   'Person_sitting'][int(rng.integers(0, 7))]
             z = float(rng.uniform(5, 55))
             x = float(rng.uniform(-0.4, 0.4)) * z
             y = float(rng.uniform(1.3, 1.8))
@@ -149,13 +153,30 @@ def _synth_annos(rng, n_images=6):
             dims.append(d)
             loc.append([x, y, z])
             rot.append(ry)
+        # DontCare regions: image-plane boxes with the KITTI placeholder
+        # 3D fields; detections overlapping them by >= 0.5 (image criterion)
+        # are neither TP nor FP (reference eval.py clean_data dc handling)
+        for _ in range(int(rng.integers(0, 3)) if n_gt else 0):
+            u = float(rng.uniform(100, 1100))
+            v = float(rng.uniform(150, 300))
+            wdt, hgt = float(rng.uniform(40, 160)), float(rng.uniform(25, 90))
+            name.append('DontCare')
+            trunc.append(-1.0)
+            occl.append(-1)
+            alpha.append(-10.0)
+            bbox.append([u, v, u + wdt, v + hgt])
+            dims.append([-1.0, -1.0, -1.0])
+            loc.append([-1000.0, -1000.0, -1000.0])
+            rot.append(-10.0)
         gt = {'name': np.array(name), 'truncated': np.array(trunc),
               'occluded': np.array(occl), 'alpha': np.array(alpha),
-              'bbox': np.array(bbox, np.float64),
-              'dimensions': np.array(dims, np.float64),
-              'location': np.array(loc, np.float64),
+              'bbox': np.array(bbox, np.float64).reshape(-1, 4),
+              'dimensions': np.array(dims, np.float64).reshape(-1, 3),
+              'location': np.array(loc, np.float64).reshape(-1, 3),
               'rotation_y': np.array(rot, np.float64)}
         gt_annos.append(gt)
+        n_dc = sum(1 for n in name if n == 'DontCare')
+        n_gt_all = len(name)
 
         # detections: jittered gt (some dropped) + false positives
         dn, da, db, dd, dl, dr, ds = [], [], [], [], [], [], []
@@ -179,6 +200,20 @@ def _synth_annos(rng, n_images=6):
             dl.append([float(rng.uniform(-15, 15)), 1.6, z])
             dr.append(float(rng.uniform(-np.pi, np.pi)))
             ds.append(float(rng.uniform(0.05, 0.6)))
+        # detections inside DontCare regions (dc-overlap branch: these must
+        # be excluded from the FP count by both implementations)
+        for dc in range(n_gt, n_gt_all):
+            if rng.uniform() < 0.3:
+                continue
+            u0, v0, u1, v1 = bbox[dc]
+            dn.append('Car' if rng.uniform() < 0.7 else 'Pedestrian')
+            da.append(float(rng.uniform(-np.pi, np.pi)))
+            db.append([u0 + 1, v0 + 1, u1 - 1, v1 - 1])
+            dd.append([4.0, 1.6, 1.7])
+            dl.append([float(rng.uniform(-15, 15)), 1.6,
+                       float(rng.uniform(5, 50))])
+            dr.append(float(rng.uniform(-np.pi, np.pi)))
+            ds.append(float(rng.uniform(0.05, 0.9)))
         dt = {'name': np.array(dn), 'alpha': np.array(da),
               'bbox': np.array(db, np.float64).reshape(-1, 4),
               'dimensions': np.array(dd, np.float64).reshape(-1, 3),

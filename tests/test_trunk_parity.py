@@ -1,0 +1,330 @@
+"""Detector-trunk golden parity vs the *executed* reference torch modules.
+
+Each test runs the actual reference implementation on CPU (CUDA extensions
+stubbed, see reference_torch.py), imports its weights through
+``virconv_tpu.utils.torch_import``, pushes identical inputs through both
+frameworks and asserts numeric equality. This converts "should match" into
+"measured to match" for the AP-critical stack without needing KITTI data:
+
+  * ResidualCoder encode/decode        (box_coder_utils.py:5-79)
+  * bb_loss                            (bbloss.py:30-48)
+  * corner loss / focal / smooth-L1    (loss_utils.py)
+  * CrossAttention                     (ted_head.py:34-80)
+  * BaseBEVBackbone                    (base_bev_backbone.py:6-115)
+  * AnchorHeadSingle fwd/assign/loss   (anchor_head_single.py + template)
+"""
+import jax
+jax.config.update('jax_default_matmul_precision', 'highest')
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import reference_torch as rt
+from virconv_tpu.ops import boxes as box_ops
+
+
+def _rand_boxes(rng, n, with_cls=False):
+    b = np.zeros((n, 8 if with_cls else 7), np.float32)
+    b[:, 0] = rng.uniform(0, 70, n)
+    b[:, 1] = rng.uniform(-40, 40, n)
+    b[:, 2] = rng.uniform(-2, 0.5, n)
+    b[:, 3] = rng.uniform(1.5, 4.5, n)
+    b[:, 4] = rng.uniform(1.2, 2.2, n)
+    b[:, 5] = rng.uniform(1.2, 2.0, n)
+    b[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    if with_cls:
+        b[:, 7] = 1
+    return b
+
+
+# ----------------------------------------------------------- box coder ----
+@pytest.mark.parametrize('sincos', [False, True])
+def test_residual_coder_parity(sincos):
+    import torch
+    mod = rt.import_ref('pcdet.utils.box_coder_utils')
+    rng = np.random.default_rng(0)
+    anchors = _rand_boxes(rng, 64)
+    boxes = _rand_boxes(rng, 64)
+
+    ref = mod.ResidualCoder(encode_angle_by_sincos=sincos)
+    enc_ref = ref.encode_torch(torch.from_numpy(boxes),
+                               torch.from_numpy(anchors)).numpy()
+    dec_ref = ref.decode_torch(torch.from_numpy(enc_ref),
+                               torch.from_numpy(anchors)).numpy()
+
+    ours = box_ops.ResidualCoder(encode_angle_by_sincos=sincos)
+    enc = np.asarray(ours.encode(jnp.asarray(boxes), jnp.asarray(anchors)))
+    dec = np.asarray(ours.decode(jnp.asarray(enc_ref), jnp.asarray(anchors)))
+    np.testing.assert_allclose(enc, enc_ref, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(dec, dec_ref, atol=2e-5, rtol=1e-5)
+
+
+# -------------------------------------------------------------- bb loss ----
+def test_bb_loss_parity():
+    import torch
+    ns = rt.extract_classes(
+        rt.REF / 'pcdet/utils/bbloss.py', [],
+        extra_names=['bb_loss', 'compute_iou', 'ang_weight', 'limit'])
+    rng = np.random.default_rng(1)
+    pred = _rand_boxes(rng, 80)
+    gt = _rand_boxes(rng, 80)
+    # the reference signature is bb_loss(pred, gt) returning per-box loss
+    ref = ns['bb_loss'](torch.from_numpy(pred),
+                        torch.from_numpy(gt)).numpy().reshape(-1)
+    got = np.asarray(box_ops.bb_loss(jnp.asarray(pred), jnp.asarray(gt)))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+# -------------------------------------------------------------- losses ----
+def test_corner_loss_parity():
+    import torch
+    lu = rt.import_ref('pcdet.utils.loss_utils')
+    rng = np.random.default_rng(2)
+    pred = _rand_boxes(rng, 60)
+    gt = pred + rng.standard_normal(pred.shape).astype(np.float32) * 0.2
+    ref = lu.get_corner_loss_lidar(torch.from_numpy(pred),
+                                   torch.from_numpy(gt)).numpy()
+    got = np.asarray(box_ops.corner_loss(jnp.asarray(pred), jnp.asarray(gt)))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_focal_loss_parity():
+    import torch
+    lu = rt.import_ref('pcdet.utils.loss_utils')
+    from virconv_tpu.models.dense_heads.anchor_head import sigmoid_focal_loss
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((2, 128, 3)).astype(np.float32) * 3
+    targets = (rng.uniform(size=(2, 128, 3)) < 0.2).astype(np.float32)
+    weights = rng.uniform(0, 1, (2, 128)).astype(np.float32)
+    ref = lu.SigmoidFocalClassificationLoss()(
+        torch.from_numpy(logits), torch.from_numpy(targets),
+        torch.from_numpy(weights)).numpy()
+    got = np.asarray(sigmoid_focal_loss(jnp.asarray(logits),
+                                        jnp.asarray(targets),
+                                        jnp.asarray(weights)))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_smooth_l1_parity():
+    import torch
+    lu = rt.import_ref('pcdet.utils.loss_utils')
+    from virconv_tpu.models.dense_heads.anchor_head import weighted_smooth_l1
+    rng = np.random.default_rng(4)
+    pred = rng.standard_normal((2, 128, 7)).astype(np.float32)
+    tgt = rng.standard_normal((2, 128, 7)).astype(np.float32)
+    weights = rng.uniform(0, 1, (2, 128)).astype(np.float32)
+    cw = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 2.0]
+    ref = lu.WeightedSmoothL1Loss(code_weights=cw)(
+        torch.from_numpy(pred), torch.from_numpy(tgt),
+        torch.from_numpy(weights)).numpy()
+    got = np.asarray(weighted_smooth_l1(jnp.asarray(pred), jnp.asarray(tgt),
+                                        jnp.asarray(weights),
+                                        code_weights=cw))
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-5)
+
+
+# ------------------------------------------------------ cross attention ----
+def test_cross_attention_parity():
+    import torch
+    from virconv_tpu.models.roi_heads.ted_head import CrossAttention
+    from virconv_tpu.utils.torch_import import import_state_dict
+    ns = rt.extract_classes(rt.REF / 'pcdet/models/roi_heads/ted_head.py',
+                            ['PositionalEmbedding', 'CrossAttention'])
+    rng = np.random.default_rng(5)
+    hid, b = 256, 24
+    ref = ns['CrossAttention'](hid)
+    rt.randomize_params(ref, rng)
+    ref.eval()
+
+    for s in (1, 2, 3):          # stage-history lengths of the cascade
+        hist = rng.standard_normal((s, b, hid)).astype(np.float32) * 0.5
+        q = hist[-1:].copy()
+        with torch.no_grad():
+            want = ref(torch.from_numpy(hist), torch.from_numpy(q)).numpy()
+
+        sd = {f'roi_head.cross_attention_layers.0.{k}': v
+              for k, v in ref.state_dict().items()}
+        variables, unmapped = import_state_dict(sd, report_unmapped=False)
+        real = [k for k in unmapped if 'inv_freq' not in k]
+        assert not real, real
+        params = variables['params']['roi_head']['cross_attn']
+        got = np.asarray(CrossAttention(hid).apply(
+            {'params': params}, jnp.asarray(hist), jnp.asarray(q)))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+# -------------------------------------------------------- BEV backbone ----
+def test_bev_backbone_parity():
+    import torch
+    from virconv_tpu.config import CfgNode
+    from virconv_tpu.models.backbones_2d.bev import BaseBEVBackbone
+    from virconv_tpu.utils.torch_import import import_state_dict
+    mod = rt.import_ref('pcdet.models.backbones_2d.base_bev_backbone')
+    rng = np.random.default_rng(6)
+
+    cfg = CfgNode({'LAYER_NUMS': [4, 4], 'LAYER_STRIDES': [1, 2],
+                   'NUM_FILTERS': [64, 128], 'UPSAMPLE_STRIDES': [1, 2],
+                   'NUM_UPSAMPLE_FILTERS': [128, 128]})
+    ref = mod.BaseBEVBackbone(cfg, input_channels=256)
+    rt.randomize_params(ref, rng, scale=0.05)
+    rt.randomize_bn_stats(ref, rng)
+    ref.eval()
+
+    x = rng.standard_normal((1, 256, 40, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref({'spatial_features': torch.from_numpy(x)})[
+            'st_features_2d'].numpy().transpose(0, 2, 3, 1)   # NHWC
+
+    sd = {f'backbone_2d.{k}': v for k, v in ref.state_dict().items()}
+    variables, unmapped = import_state_dict(sd, report_unmapped=False)
+    real = [k for k in unmapped if not k.endswith('num_batches_tracked')]
+    assert not real, real
+    # standalone module: the import maps the height-compression channel
+    # permutation into block0's first conv — undo it for a raw-input test
+    from virconv_tpu.utils.torch_import import bev_input_perm
+    perm = bev_input_perm(256)
+    inv = np.argsort(perm)
+    p = variables['params']['bev_backbone']
+    p['block0_down']['Conv_0']['kernel'] = \
+        p['block0_down']['Conv_0']['kernel'][:, :, inv, :]
+    ours = BaseBEVBackbone()
+    got = np.asarray(ours.apply(
+        {'params': jax.tree_util.tree_map(jnp.asarray, p),
+         'batch_stats': jax.tree_util.tree_map(
+             jnp.asarray, variables['batch_stats']['bev_backbone'])},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), False))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
+
+
+# ----------------------------------------------- anchor head (full RPN) ----
+def _dense_head_cfg():
+    from virconv_tpu.config import CfgNode
+    return CfgNode({
+        'USE_DIRECTION_CLASSIFIER': True,
+        'DIR_OFFSET': 0.78539, 'DIR_LIMIT_OFFSET': 0.0, 'NUM_DIR_BINS': 2,
+        'ANCHOR_GENERATOR_CONFIG': [{
+            'class_name': 'Car',
+            'anchor_sizes': [[3.9, 1.6, 1.56]],
+            'anchor_rotations': [0, 1.57],
+            'anchor_bottom_heights': [-1.78],
+            'align_center': False,
+            'feature_map_stride': 8,
+            'matched_threshold': 0.6,
+            'unmatched_threshold': 0.45,
+        }],
+        'TARGET_ASSIGNER_CONFIG': {
+            'NAME': 'AxisAlignedTargetAssigner',
+            'POS_FRACTION': -1.0, 'SAMPLE_SIZE': 512,
+            'NORM_BY_NUM_EXAMPLES': False, 'MATCH_HEIGHT': False,
+            'BOX_CODER': 'ResidualCoder',
+        },
+        'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+            'cls_weight': 1.0, 'loc_weight': 2.0, 'dir_weight': 0.2,
+            'code_weights': [1.0] * 7}},
+    })
+
+
+def test_anchor_head_forward_targets_and_loss_parity():
+    """Full RPN parity: same BEV features, points and gt through the
+    executed reference AnchorHeadSingle (train mode, CPU) and ours —
+    anchor mask, conv preds, decoded boxes, target assignment, and the
+    total cls/loc/dir loss must all match.
+
+    Points are kept out of the border coarse cells: the reference's
+    get_anchor_mask builds fine indices ``coarse*10 + [-10, 10)`` and
+    indexes the mask tensor with them raw, so negative indices *wrap
+    around* torch-style and activate the far edge — a reference quirk we
+    intentionally do not reproduce (anchor_head_single.py:104-113)."""
+    import torch
+    from virconv_tpu.config import CfgNode
+    from virconv_tpu.models.dense_heads.anchor_head import AnchorHeadSingle
+    from virconv_tpu.utils.torch_import import import_state_dict
+    mod = rt.import_ref('pcdet.models.dense_heads.anchor_head_single')
+    rng = np.random.default_rng(7)
+
+    cfg = _dense_head_cfg()
+    grid_size = np.array([1408, 1600, 41])
+    pcr = [0, -40, -3, 70.4, 40, 1]
+    ref = mod.AnchorHeadSingle(
+        model_cfg=cfg, input_channels=32, num_class=1, class_names=['Car'],
+        grid_size=grid_size, point_cloud_range=pcr)
+    rt.randomize_params(ref, rng, scale=0.05)
+    ref.train()
+
+    b, h, w = 2, 200, 176
+    bev = rng.standard_normal((b, 32, h, w)).astype(np.float32) * 0.5
+    # points: [batch_idx, x, y, z]; interior so no coarse-border wrap
+    npts = 400
+    pts = np.zeros((npts, 4), np.float32)
+    pts[:, 0] = rng.integers(0, b, npts)
+    pts[:, 1] = rng.uniform(8, 60, npts)
+    pts[:, 2] = rng.uniform(-32, 32, npts)
+    gt = np.zeros((b, 5, 8), np.float32)
+    for i in range(b):
+        n_gt = 3 + i
+        gt[i, :n_gt] = _rand_boxes(rng, n_gt, with_cls=True)
+        gt[i, :n_gt, 0] = rng.uniform(10, 60, n_gt)
+        gt[i, :n_gt, 1] = rng.uniform(-30, 30, n_gt)
+
+    data = {'st_features_2d': torch.from_numpy(bev),
+            'points': torch.from_numpy(pts),
+            'gt_boxes': torch.from_numpy(gt), 'batch_size': b}
+    out_ref = ref(data)
+    ref_mask = ref.get_anchor_mask(data, (b, 32, h, w)).numpy()
+    want_loss, want_tb = ref.get_loss()
+
+    sd = {f'dense_head.{k}': v for k, v in ref.state_dict().items()}
+    variables, unmapped = import_state_dict(sd, report_unmapped=False)
+    real = [k for k in unmapped if not k.endswith('num_batches_tracked')]
+    assert not real, real
+
+    head = AnchorHeadSingle(model_cfg=cfg, num_class=1,
+                            grid_size=(1408, 1600), point_cloud_range=pcr)
+    out = head.apply(
+        {'params': jax.tree_util.tree_map(
+            jnp.asarray, variables['params']['dense_head'])},
+        jnp.asarray(bev.transpose(0, 2, 3, 1)),
+        jnp.asarray(pts[:, 1:3]), jnp.ones((npts,), bool), None,
+        gt_boxes=jnp.asarray(gt), gt_valid=jnp.asarray(gt[..., 3] > 0),
+        train=True, with_proposals=False)
+
+    # 1. anchor mask
+    amask = np.asarray(out['anchor_mask']).reshape(h, w, 2)[..., 0]
+    np.testing.assert_array_equal(amask, ref_mask)
+
+    # 2. conv preds at masked positions (reference keeps only those)
+    flat_mask = ref_mask.reshape(-1)
+    cls_ref = out_ref['batch_cls_preds'].detach().numpy()       # (B, nm, 1)
+    cls_ours = np.asarray(out['cls_preds']).reshape(b, h * w, 2, 1)[
+        :, flat_mask].reshape(b, -1, 1)
+    np.testing.assert_allclose(cls_ours, cls_ref, atol=1e-4, rtol=1e-4)
+
+    box_ref = out_ref['batch_box_preds'].detach().numpy()       # decoded
+    box_ours = np.asarray(out['batch_box_preds']).reshape(
+        b, h * w, 2, 7)[:, flat_mask].reshape(b, -1, 7)
+    np.testing.assert_allclose(box_ours, box_ref, atol=2e-3, rtol=1e-3)
+
+    # 3. target assignment
+    lbl_ref = ref.forward_ret_dict['box_cls_labels'].numpy()    # (B, nm*2)
+    lbl_ours = np.asarray(out['targets']['labels']).reshape(
+        b, h * w, 2)[:, flat_mask].reshape(b, -1)
+    np.testing.assert_array_equal(lbl_ours, lbl_ref)
+    rt_ref = ref.forward_ret_dict['box_reg_targets'].numpy()
+    rt_ours = np.asarray(out['targets']['reg_targets']).reshape(
+        b, h * w, 2, 7)[:, flat_mask].reshape(b, -1, 7)
+    np.testing.assert_allclose(rt_ours, rt_ref, atol=1e-4, rtol=1e-4)
+
+    # 4. total loss (cls focal + loc smooth-L1 sin-diff + dir CE)
+    lw = {'cls_weight': 1.0, 'loc_weight': 2.0, 'dir_weight': 0.2}
+    got_loss, got_tb = head.apply(
+        {'params': jax.tree_util.tree_map(
+            jnp.asarray, variables['params']['dense_head'])},
+        out, lw, [1.0] * 7, method=AnchorHeadSingle.loss)
+    np.testing.assert_allclose(float(got_loss), float(want_loss),
+                               atol=1e-4, rtol=1e-4)
+    for k_ref, k_ours in (('rpn_loss_cls', 'rpn_loss_cls'),
+                          ('rpn_loss_loc', 'rpn_loss_loc'),
+                          ('rpn_loss_dir', 'rpn_loss_dir')):
+        np.testing.assert_allclose(float(got_tb[k_ours]),
+                                   float(want_tb[k_ref]),
+                                   atol=1e-4, rtol=1e-4)

@@ -198,12 +198,15 @@ class AnchorHeadSingle(nn.Module):
         self.conv_dir = nn.Conv(na * self.num_dir_bins, (1, 1))
 
     def __call__(self, bev_feats, points_xy, points_mask, nms_cfg,
-                 gt_boxes=None, gt_valid=None, train: bool = False):
+                 gt_boxes=None, gt_valid=None, train: bool = False,
+                 with_proposals: bool = True):
         """
         Args:
             bev_feats: (B, H, W, C) NHWC BEV features.
             points_xy: (P, 2) all points of the batch (anchor mask source).
             gt_boxes: (B, M, 8) padded, gt_valid: (B, M) — train only.
+            with_proposals: skip the in-head NMS proposal generation when
+                False (loss-only paths and parity tests).
         Returns dict with proposals (rois/roi_scores/roi_valid), decoded
             batch predictions, and (train) loss inputs.
         """
@@ -241,6 +244,9 @@ class AnchorHeadSingle(nn.Module):
             tgt['labels'] = jnp.where(amask_flat[None, :], tgt['labels'], -1)
             tgt['reg_weights'] = tgt['reg_weights'] * amask_flat[None, :]
             out['targets'] = tgt
+
+        if not with_proposals:
+            return out
 
         # proposals via rotated NMS (scores of masked anchors -> invalid)
         scores = jax.nn.sigmoid(cls_preds.max(-1))

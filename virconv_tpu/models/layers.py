@@ -19,20 +19,33 @@ from ..ops import sparse as sp
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over valid rows of (N, C) features."""
+    """BatchNorm over valid rows of (N, C) features.
+
+    ``fold=True`` (eval only) skips applying the normalization and instead
+    returns the folded affine ``(mult, bias')`` with
+    ``y = x * mult + bias'`` — callers fuse it into the preceding conv
+    kernel's epilogue (band_conv scale/bias args) so the (N, C) tensor
+    never round-trips HBM for a separate BN pass. Parameter/variable
+    creation order is identical in both modes, so checkpoints interchange.
+    """
 
     features: int
     eps: float = 1e-3
     momentum: float = 0.01
 
     @nn.compact
-    def __call__(self, x, mask, train: bool):
+    def __call__(self, x, mask, train: bool, fold: bool = False):
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros(self.features, jnp.float32))
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones(self.features, jnp.float32))
         scale = self.param('scale', nn.initializers.ones, (self.features,))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
+
+        if fold:
+            assert not train, 'fold only defined for running-stat eval mode'
+            mult = scale / jnp.sqrt(ra_var.value + self.eps)
+            return mult, bias - ra_mean.value * mult
 
         if train:
             w = mask.astype(jnp.float32)[:, None]
@@ -72,6 +85,15 @@ class SubMConvBlock(nn.Module):
                            1.0, 'fan_in', 'normal'),
                        (k, c_in, self.out_channels))
         if isinstance(ctx, sp.ConvCtx):
+            if self.use_bn and not train:
+                # eval: fold the running-stat BN into a (scale, bias)
+                # epilogue fused into the conv (band kernel: in-register;
+                # nmap: XLA-fused tail) — no separate BN pass over (N, C)
+                mult, bias = MaskedBatchNorm(self.out_channels)(
+                    st.feats, st.mask, train, fold=True)
+                feats = ctx.conv(st.feats, w, scale=mult, bias=bias,
+                                 relu=self.use_relu)
+                return st.replace(feats=feats)
             feats = ctx.conv(st.feats, w)
         else:
             feats = sp.gathered_conv(st.feats, ctx, w, st.mask)
@@ -104,6 +126,11 @@ class SparseDownBlock(nn.Module):
                        nn.initializers.variance_scaling(
                            1.0, 'fan_in', 'normal'),
                        (ctx.n_taps, st.num_channels, self.out_channels))
+        if not train:
+            mult, bias = MaskedBatchNorm(self.out_channels)(
+                st.feats, st_out.mask, train, fold=True)
+            feats = ctx.conv(st.feats, w, scale=mult, bias=bias, relu=True)
+            return st_out.replace(feats=feats)
         feats = ctx.conv(st.feats, w)
         feats = MaskedBatchNorm(self.out_channels)(feats, st_out.mask, train)
         feats = nn.relu(feats)
@@ -112,7 +139,13 @@ class SparseDownBlock(nn.Module):
 
 class DenseConvBlock(nn.Module):
     """3x3 dense conv + BN + ReLU on NHWC maps (BEV backbone building block,
-    torch BN semantics eps=1e-3 momentum=0.01)."""
+    torch BN semantics eps=1e-3 momentum=0.01).
+
+    Padding is the explicit symmetric (k//2, k//2) of the reference's
+    ``ZeroPad2d(1) + Conv2d(padding=0)`` (base_bev_backbone.py:32-37) —
+    NOT flax 'SAME', which at stride 2 pads (0, 1) and shifts the sampling
+    grid one pixel relative to torch (caught by
+    tests/test_trunk_parity.py::test_bev_backbone_parity)."""
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
@@ -121,8 +154,9 @@ class DenseConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        pads = tuple((k // 2, k // 2) for k in self.kernel)
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
-                    padding='SAME', use_bias=self.use_bias)(x)
+                    padding=pads, use_bias=self.use_bias)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3)(x)
         return nn.relu(x)

@@ -531,9 +531,27 @@ class ConvCtx:
         self.n_taps = n_taps
         self._apply = apply_fn
 
-    def conv(self, feats, weights):
-        """feats (N_in, C) -> (N_out, C') for weights (K, C, C')."""
-        return self._apply(feats, weights)
+    def conv(self, feats, weights, scale=None, bias=None, relu=False):
+        """feats (N_in, C) -> (N_out, C') for weights (K, C, C').
+
+        ``scale``/``bias``/``relu`` fuse an eval-mode-BN affine + ReLU
+        epilogue into the conv (band mode: inside the Pallas kernel;
+        nmap mode: XLA-fused elementwise tail). Output rows of invalid
+        sites are zero either way.
+        """
+        return self._apply(feats, weights, scale, bias, relu)
+
+
+def _epilogue(out, mask, scale, bias, relu):
+    """Affine + ReLU + re-mask tail of the XLA conv paths (the band kernel
+    applies the same epilogue in-register)."""
+    if scale is not None:
+        out = out * scale + bias
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    if scale is not None:      # bias may un-zero invalid rows
+        out = jnp.where(mask[:, None], out, 0.0)
+    return out
 
 
 BAND_PATCH_CAP = 2048
@@ -597,7 +615,9 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
     if not use_band:
         nmap = build_subm_neighbor_map(st, kernel_size)
         return ConvCtx('nmap', k,
-                       lambda f, w: gathered_conv(f, nmap, w, st.mask))
+                       lambda f, w, s=None, b=None, r=False: _epilogue(
+                           gathered_conv(f, nmap, w, st.mask),
+                           st.mask, s, b, r))
 
     plan, keys = subm_band_plan(st, kernel_size, tile, block)
     first_index = None
@@ -618,21 +638,23 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
     pidx, pvalid, pnmap, bad_cnt, pcap = _band_patch(
         plan, lambda qk: lookup(keys, qk), first_index)
 
-    def apply_fn(feats, weights):
+    def apply_fn(feats, weights, scale=None, bias=None, relu=False):
         from .pallas.band_conv import band_conv
         interp = jax.default_backend() != 'tpu'
         src = feats if src_sel is None else jnp.where(src_sel, feats, 0.0)
 
         def fast(f):
-            out = band_conv(f, keys, plan, weights, bf16=bf16,
-                            interpret=interp)
-            patch = gathered_conv(f, pnmap, weights, pvalid)
+            out = band_conv(f, keys, plan, weights, scale=scale, bias=bias,
+                            relu=relu, bf16=bf16, interpret=interp)
+            patch = _epilogue(gathered_conv(f, pnmap, weights, pvalid),
+                              pvalid, scale, bias, relu)
             return out.at[pidx].set(
                 jnp.where(pvalid[:, None], patch, out[pidx]))
 
         def slow(f):
             nmap = build_subm_neighbor_map(st, kernel_size)
-            return gathered_conv(f, nmap, weights, st.mask)
+            return _epilogue(gathered_conv(f, nmap, weights, st.mask),
+                             st.mask, scale, bias, relu)
 
         # keys_sorted gates the cond directly: with unsorted keys BOTH the
         # kernel and the gather patch (searchsorted lookups) are garbage,
@@ -657,28 +679,32 @@ def strided_conv_ctx(st_in: SparseTensor, st_out: SparseTensor, stride,
         nmap = build_strided_neighbor_map(st_in, st_out, stride, padding,
                                           kernel_size)
         return ConvCtx('nmap', k,
-                       lambda f, w: gathered_conv(f, nmap, w, st_out.mask))
+                       lambda f, w, s=None, b=None, r=False: _epilogue(
+                           gathered_conv(f, nmap, w, st_out.mask),
+                           st_out.mask, s, b, r))
 
     plan, keys = strided_band_plan(st_in, st_out, stride, padding,
                                    kernel_size, tile, block)
     pidx, pvalid, pnmap, bad_cnt, pcap = _band_patch(
         plan, lambda qk: lookup(keys, qk))
 
-    def apply_fn(feats, weights):
+    def apply_fn(feats, weights, scale=None, bias=None, relu=False):
         from .pallas.band_conv import band_conv
         interp = jax.default_backend() != 'tpu'
 
         def fast(f):
-            out = band_conv(f, keys, plan, weights, bf16=bf16,
-                            interpret=interp)
-            patch = gathered_conv(f, pnmap, weights, pvalid)
+            out = band_conv(f, keys, plan, weights, scale=scale, bias=bias,
+                            relu=relu, bf16=bf16, interpret=interp)
+            patch = _epilogue(gathered_conv(f, pnmap, weights, pvalid),
+                              pvalid, scale, bias, relu)
             return out.at[pidx].set(
                 jnp.where(pvalid[:, None], patch, out[pidx]))
 
         def slow(f):
             nmap = build_strided_neighbor_map(st_in, st_out, stride,
                                               padding, kernel_size)
-            return gathered_conv(f, nmap, weights, st_out.mask)
+            return _epilogue(gathered_conv(f, nmap, weights, st_out.mask),
+                             st_out.mask, scale, bias, relu)
 
         # see subm_conv_ctx: unsorted keys invalidate the patch lookups too
         return jax.lax.cond(plan.keys_sorted & (bad_cnt <= pcap),
