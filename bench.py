@@ -1,25 +1,38 @@
-"""Headline benchmark: VirConv-T end-to-end inference frames/sec/chip.
+"""Headline benchmark: VirConv-T END-TO-END inference frames/sec/chip.
 
-Runs the full-scale flagship detector (dual-stream NRConv backbone, ROT_NUM=3
-transform-ensemble, TED cascade head, KITTI geometry: 0.05m voxels over
-[0, -40, -3, 70.4, 40, 1], 40k voxels/stream/replica) on synthetic
-KITTI-scale inputs and reports frames/sec on the attached chip.
+Runs the full-scale flagship detector (dual-stream NRConv backbone,
+ROT_NUM=3 transform-ensemble, TED cascade head, KITTI geometry: 0.05m
+voxels over [0, -40, -3, 70.4, 40, 1], 40k voxels/stream/replica) on
+synthetic KITTI-scale inputs and reports END-TO-END frames/sec on the
+attached chip — the scope of the reference's ``sec_per_example``
+(``/root/reference/tools/eval_utils/eval_utils.py:85-86``): jitted model
+forward PLUS the host tail (score threshold, WBF clustering, lidar->camera
+box conversion, KITTI-format prediction dicts). Host post-processing of
+batch k overlaps the device compute of batch k+1, exactly as the serving
+loop would pipeline it; the device stream is synced before timestamps.
+
+Batching: FRAMES=3 KITTI frames per dispatch (the key space bounds
+batch*replicas at 9 entries on int32 keys; see ops/sparse.py). The metric
+is frames/sec/chip, so fixed per-dispatch costs amortize — the reference
+likewise evaluates at batch sizes > 1.
 
 Baseline note: the reference publishes no throughput (SURVEY.md §6); the
 VirConv paper reports ~92 ms/frame for VirConv-T on an RTX 3090-class GPU
-(~11 fps), which we use as the provisional vs_baseline denominator until the
-reference is measured on shared hardware.
+(~11 fps), which we use as the provisional vs_baseline denominator until
+the reference is measured on shared hardware.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 11.0
+FRAMES = 3          # frames per dispatch (batch * ROT_NUM <= 9 entries)
 
 
-def build_full_scale():
+def build_full_scale(frames=FRAMES):
     import functools
     import os
     import jax
@@ -37,14 +50,12 @@ def build_full_scale():
     rng = np.random.default_rng(0)
     n_rep = cfg.DATA_CONFIG.ROT_NUM
     n_pts = 65536
-    pcr = cfg.DATA_CONFIG.POINT_CLOUD_RANGE
 
     def synth_points(n_entries):
         """KITTI-statistics street scenes (ground + cars + walls), one per
         entry: ~18-20k occupied LiDAR voxels and a fused real+virtual cloud
         that saturates the 40k mm voxel cap — matching real eval load
         (virconv_tpu.utils.synth_scene docstring has the derivation)."""
-        import sys
         from virconv_tpu.utils.synth_scene import make_scene, scene_stats
         lpts = np.zeros((n_entries, n_pts, 8), np.float32)
         lval = np.zeros((n_entries, n_pts), bool)
@@ -85,7 +96,7 @@ def build_full_scale():
 
     params = np.array([[0.3, 0.0, 0.98], [0.3, 1.0, 1.02], [0.0, 1.0, 1.0]],
                       np.float32)[:n_rep]
-    lpts, lval, mpts, mval = synth_points(1)
+    lpts, lval, mpts, mval = synth_points(frames)
 
     def world_transform(p, prm):
         # each replica carries its own [rot, flip, scale] world transform,
@@ -101,15 +112,22 @@ def build_full_scale():
         q[..., :3] *= scale
         return q
 
-    lrep = np.concatenate([world_transform(lpts, p) for p in params], 0)
-    mrep = np.concatenate([world_transform(mpts, p) for p in params], 0)
+    def replicate(pts):
+        # entry layout b*R + i: frame-major, replica-minor
+        reps = np.stack([world_transform(pts, p) for p in params], 1)
+        return reps.reshape(frames * n_rep, *pts.shape[1:])
+
+    lrep = replicate(lpts)
+    mrep = replicate(mpts)
     batch = {
-        'points': lrep, 'points_valid': np.tile(lval, (n_rep, 1)),
-        'points_mm': mrep, 'points_mm_valid': np.tile(mval, (n_rep, 1)),
-        'v2r': np.tile(v2r, (n_rep, 1, 1)),
-        'p2t': np.tile(p2t, (n_rep, 1, 1)),
-        'transform_param': params[None],
-        'trans_params': params,
+        'points': lrep,
+        'points_valid': np.repeat(lval, n_rep, axis=0),
+        'points_mm': mrep,
+        'points_mm_valid': np.repeat(mval, n_rep, axis=0),
+        'v2r': np.tile(v2r, (frames * n_rep, 1, 1)),
+        'p2t': np.tile(p2t, (frames * n_rep, 1, 1)),
+        'transform_param': np.tile(params[None], (frames, 1, 1)),
+        'trans_params': np.tile(params, (frames, 1)),
         'gt_boxes': None, 'gt_valid': None,
     }
 
@@ -135,7 +153,25 @@ def build_full_scale():
     eval_vars = {'params': variables['params'],
                  'batch_stats': variables.get('batch_stats', {})}
     forward = jax.jit(functools.partial(model.apply, train=False))
-    return forward, eval_vars, batch
+
+    post_cfg = CfgNode(cfg.MODEL.POST_PROCESSING)
+    meta = {'calib': [calib] * frames,
+            'image_shape': [np.array([375, 1242])] * frames,
+            'frame_id': [f'{i:06d}' for i in range(frames)]}
+
+    def host_tail(out):
+        """The reference sec_per_example host scope: score threshold +
+        WBF clustering + camera/image box conversion + KITTI-format
+        prediction dicts (kitti_dataset_mm.generate_prediction_dicts —
+        self is unused by the method, so it runs unbound)."""
+        from virconv_tpu.datasets.kitti.kitti_dataset_mm import KittiDatasetMM
+        from virconv_tpu.utils.postprocess import post_process_batch
+        pred_dicts = post_process_batch(out, post_cfg,
+                                        len(cfg.CLASS_NAMES))
+        return KittiDatasetMM.generate_prediction_dicts(
+            None, meta, pred_dicts, cfg.CLASS_NAMES)
+
+    return forward, eval_vars, batch, host_tail
 
 
 def main():
@@ -145,32 +181,45 @@ def main():
     jax.config.update('jax_compilation_cache_dir', '.jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
-    forward, eval_vars, batch = build_full_scale()
+    forward, eval_vars, batch, host_tail = build_full_scale()
     import jax.numpy as jnp
     batch = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x) if x is not None else None, batch,
         is_leaf=lambda x: x is None)
 
-    # Timing note: on the tunneled TPU backend block_until_ready can return
-    # before execution finishes; a host fetch of a scalar derived from the
-    # outputs forces real synchronization (RPC overhead ~25 ms, negligible
-    # at current frame times).
-    def run_once():
-        out = forward(eval_vars, batch)
-        s = (out['batch_box_preds'].sum()
-             + out['batch_cls_preds'].sum())
-        return float(s)
+    # warmup / compile; the scalar fetch forces real execution on the
+    # tunneled backend (block_until_ready can return early there)
+    out = forward(eval_vars, batch)
+    n_dets = sum(len(p['score']) for p in host_tail(out))
+    print(f'[bench] warm, {n_dets} detections/batch', file=sys.stderr)
 
-    run_once()   # warmup / compile
+    iters = 6
 
-    iters = 5
+    # model-only throughput: dispatch every iteration back-to-back (the
+    # device queue serializes them), sync once via the last output
     t0 = time.perf_counter()
     for _ in range(iters):
-        run_once()
-    dt = (time.perf_counter() - t0) / iters
-    fps = 1.0 / dt
+        out = forward(eval_vars, batch)
+    float(out['batch_box_preds'].sum())
+    dt_model = (time.perf_counter() - t0) / (iters * FRAMES)
+    print(f'[bench] model-only: {1.0 / dt_model:.3f} fps '
+          f'({dt_model * 1e3:.1f} ms/frame)', file=sys.stderr)
+
+    # end-to-end: host tail of batch k overlaps device compute of k+1
+    # (np.asarray inside the tail blocks on batch k's buffers)
+    t0 = time.perf_counter()
+    prev = forward(eval_vars, batch)
+    for _ in range(iters - 1):
+        cur = forward(eval_vars, batch)
+        host_tail(prev)
+        prev = cur
+    host_tail(prev)
+    dt_e2e = (time.perf_counter() - t0) / (iters * FRAMES)
+    fps = 1.0 / dt_e2e
+    print(f'[bench] end-to-end: {fps:.3f} fps '
+          f'({dt_e2e * 1e3:.1f} ms/frame)', file=sys.stderr)
     print(json.dumps({
-        'metric': 'virconv_t_inference_fps_per_chip',
+        'metric': 'virconv_t_e2e_inference_fps_per_chip',
         'value': round(fps, 3),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / BASELINE_FPS, 3),

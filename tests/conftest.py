@@ -29,3 +29,26 @@ jax.config.update('jax_compilation_cache_dir',
                                '.jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption('--run-slow', action='store_true', default=False,
+                     help='run tests marked slow (multi-minute XLA-CPU '
+                          'compiles); smoke variants cover them by default')
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: multi-minute XLA-CPU compile; skipped unless '
+                   '--run-slow (a smoke variant runs every time)')
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption('--run-slow'):
+        return
+    skip = pytest.mark.skip(reason='slow (use --run-slow)')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)

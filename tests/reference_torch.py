@@ -111,9 +111,14 @@ def extract_classes(path, names, ns=None, extra_names=()):
     tree = ast.parse(Path(path).read_text())
     ns = ns if ns is not None else {}
     ns.setdefault('np', np)
+    ns.setdefault('math', __import__('math'))
     ns.setdefault('torch', torch)
     ns.setdefault('nn', nn)
     ns.setdefault('F', F)
+    ns.setdefault('Function', torch.autograd.Function)
+    ns.setdefault('Variable', torch.autograd.Variable)
+    from scipy.spatial import ConvexHull
+    ns.setdefault('ConvexHull', ConvexHull)
     wanted = set(names) | set(extra_names)
     for item in tree.body:
         if isinstance(item, (ast.ClassDef, ast.FunctionDef)) \

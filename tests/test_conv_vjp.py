@@ -1,0 +1,105 @@
+"""gathered_conv_train's gather-only custom VJP vs autodiff of the oracle.
+
+The backward of gathered_conv's row-gathers is a scatter-add (TPU-slow);
+gathered_conv_train replaces it with the algebraic transpose conv (pure
+gathers). Gradients must match jax.grad of the plain gathered_conv exactly.
+"""
+import jax
+jax.config.update('jax_default_matmul_precision', 'highest')
+import numpy as np
+import jax.numpy as jnp
+
+from virconv_tpu.ops import sparse as sp
+from test_sparse import make_random_sparse
+
+
+def _grads(fn, feats, w):
+    def loss(f, wt):
+        out = fn(f, wt)
+        return (out * (1.0 + 0.1 * jnp.arange(out.size).reshape(out.shape))
+                ).sum()
+    return jax.grad(loss, argnums=(0, 1))(feats, w)
+
+
+def test_subm_vjp_matches_autodiff():
+    rng = np.random.default_rng(0)
+    st = make_random_sparse(rng, batch_size=2, spatial=(6, 14, 12),
+                            n_valid=500, capacity=576, channels=6)
+    w = jnp.asarray((rng.standard_normal((27, 6, 8)) * 0.3).astype(np.float32))
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    tmap = nmap[:, ::-1]
+
+    ref = _grads(lambda f, wt: sp.gathered_conv(f, nmap, wt, st.mask),
+                 st.feats, w)
+    got = _grads(lambda f, wt: sp.gathered_conv_train(
+        f, nmap, tmap, wt, st.mask, st.mask), st.feats, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_strided_vjp_matches_autodiff():
+    rng = np.random.default_rng(1)
+    st = make_random_sparse(rng, batch_size=2, spatial=(6, 14, 12),
+                            n_valid=500, capacity=576, channels=6)
+    stride, padding, ksz = (2, 2, 2), (1, 1, 1), (3, 3, 3)
+    st_out = sp.downsample_coords(st, stride, padding, ksz, 384)
+    nmap = sp.build_strided_neighbor_map(st, st_out, stride, padding, ksz)
+    tmap = sp.build_strided_transpose_map(st, st_out, stride, padding, ksz)
+    w = jnp.asarray((rng.standard_normal((27, 6, 8)) * 0.3).astype(np.float32))
+
+    ref = _grads(lambda f, wt: sp.gathered_conv(f, nmap, wt, st_out.mask),
+                 st.feats, w)
+    got = _grads(lambda f, wt: sp.gathered_conv_train(
+        f, nmap, tmap, wt, st_out.mask, st.mask), st.feats, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_strided_z_compression_vjp():
+    """conv_out geometry: kernel (3,1,1), stride (2,1,1), padding 0."""
+    rng = np.random.default_rng(2)
+    st = make_random_sparse(rng, batch_size=1, spatial=(7, 10, 8),
+                            n_valid=250, capacity=320, channels=5)
+    stride, padding, ksz = (2, 1, 1), (0, 0, 0), (3, 1, 1)
+    st_out = sp.downsample_coords(st, stride, padding, ksz, 256)
+    nmap = sp.build_strided_neighbor_map(st, st_out, stride, padding, ksz)
+    tmap = sp.build_strided_transpose_map(st, st_out, stride, padding, ksz)
+    w = jnp.asarray((rng.standard_normal((3, 5, 7)) * 0.3).astype(np.float32))
+
+    ref = _grads(lambda f, wt: sp.gathered_conv(f, nmap, wt, st_out.mask),
+                 st.feats, w)
+    got = _grads(lambda f, wt: sp.gathered_conv_train(
+        f, nmap, tmap, wt, st_out.mask, st.mask), st.feats, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_2d_subm_vjp_matches_autodiff():
+    """The NRConv image-plane 2D conv geometry (ndim=2, K=9)."""
+    rng = np.random.default_rng(3)
+    st3 = make_random_sparse(rng, batch_size=2, spatial=(6, 14, 12),
+                             n_valid=300, capacity=320, channels=6)
+    coords2d = jnp.stack([st3.coords[:, 0], st3.coords[:, 2],
+                          st3.coords[:, 3]], -1)
+    coords2d = jnp.where(st3.mask[:, None], coords2d, -1)
+    st = sp.SparseTensor(feats=st3.feats, coords=coords2d, mask=st3.mask,
+                         spatial_shape=(14, 12), batch_size=2)
+    st = sp.compact_sorted(sp.dedup_sorted(sp.sort_by_key(st)), st.capacity)
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    tmap = nmap[:, ::-1]
+    w = jnp.asarray((rng.standard_normal((9, 6, 6)) * 0.3).astype(np.float32))
+
+    ref = _grads(lambda f, wt: sp.gathered_conv(f, nmap, wt, st.mask),
+                 st.feats, w)
+    got = _grads(lambda f, wt: sp.gathered_conv_train(
+        f, nmap, tmap, wt, st.mask, st.mask), st.feats, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=1e-4, rtol=1e-4)

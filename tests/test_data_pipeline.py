@@ -150,3 +150,22 @@ class TestSemiDataset:
         # the semi info (last) must load points from semi/velodyne_depth
         item = ds[len(ds.kitti_infos) - 1]
         assert item is None or 'points' in item
+
+
+class TestPlainKittiDataset:
+    """The legacy LiDAR-only 4-dim dataset (reference kitti_dataset.py,
+    registered but unused by the shipped configs)."""
+
+    def test_plain_getitem(self, infos_ready):
+        from virconv_tpu.datasets.kitti.kitti_dataset import KittiDataset
+        cfg = make_dataset_cfg(infos_ready)
+        ds = KittiDataset(cfg, ['Car'], training=False,
+                          root_path=infos_ready)
+        item = ds[0]
+        # raw velodyne points are 4-dim [x, y, z, intensity]; the feature
+        # encoder may widen with configured features but the source must
+        # NOT be the 8-dim velodyne_depth stream
+        assert 'points' in item and item['points'].shape[0] > 0
+        pts = item['points']
+        assert np.isfinite(pts).all()
+        assert 'gt_boxes' in item or not ds.kitti_infos[0].get('annos')

@@ -51,6 +51,28 @@ def model_and_batch():
     return model, batch
 
 
+def test_train_step_8dev_smoke(model_and_batch):
+    """Always-on smoke: the 8-device dp train step compiles, executes, and
+    produces a finite loss with params/stats placed replicated — the same
+    program the driver's dryrun_multichip validates. The full 8-dev-vs-1-dev
+    equality check is the `slow` test below (two multi-minute XLA-CPU
+    compiles)."""
+    model, batch = model_and_batch
+    rngs = {'params': jax.random.PRNGKey(0), 'stvd': jax.random.PRNGKey(1),
+            'sampling': jax.random.PRNGKey(2),
+            'dropout': jax.random.PRNGKey(3)}
+    mesh = make_mesh(8)
+    sharded = shard_batch(batch, mesh)
+    state, tx, _ = init_state(model, sharded, rngs, OPT_CFG, total_steps=10)
+    state = jax.device_put(state, replicated(mesh))
+    step = jax.jit(make_train_step(model, tx))
+    new_state, loss, tb = step(state, sharded, jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss))
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert len(leaf.sharding.device_set) == 8     # replicated over the mesh
+
+
+@pytest.mark.slow
 def test_train_step_8dev_matches_1dev(model_and_batch):
     """Same global batch, same rng: the dp-sharded train step must produce
     the same loss, params, and synced batch_stats as single-device."""
@@ -90,6 +112,7 @@ def test_train_step_8dev_matches_1dev(model_and_batch):
     _tree_allclose(stats1, stats8, atol=2e-4, rtol=0.01)
 
 
+@pytest.mark.slow
 def test_eval_forward_sharded_matches_replicated(model_and_batch):
     """Eval with entries sharded over dp == eval on one device (the
     reference's pad+stride eval sampler merges to the same outputs)."""

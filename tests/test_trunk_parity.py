@@ -153,6 +153,51 @@ def test_cross_attention_parity():
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+# --------------------------------------------------------------- ODIoU ----
+def test_odiou_parity():
+    """ops.odiou vs the executed reference odiou_3D (including its
+    reflected-heading BEV geometry and rotating-calipers MBR diagonal)."""
+    import torch
+    from virconv_tpu.ops.odiou import odiou_3d, odiou_3d_weighted
+    names = ['compute_vertex', 'sort_vertex', 'area_polygon',
+             'rbbox_to_corners', 'rinter_area_compute', 'find_convex_hull',
+             'mbr_diag_convex_hull', 'mbr_diag_compute', 'odiou_3D']
+    ns = rt.extract_classes(rt.REF / 'pcdet/utils/odiou_loss.py', names)
+    # the module tail rebinds the autograd Functions to .apply
+    # (odiou_loss.py:908-911); class bodies call them by bare name
+    for n in ('compute_vertex', 'sort_vertex', 'area_polygon',
+              'find_convex_hull'):
+        ns[n] = ns[n].apply
+
+    rng = np.random.default_rng(8)
+    n = 12
+    g = _rand_boxes(rng, n)
+    q = g.copy()
+    q[:, 0:3] += rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    q[:, 3:6] *= rng.uniform(0.85, 1.2, (n, 3)).astype(np.float32)
+    q[:, 6] += rng.normal(0, 0.4, n).astype(np.float32)
+
+    w = torch.ones(n)
+    want = float(ns['odiou_3D']()(torch.from_numpy(g), torch.from_numpy(q),
+                                  w, 2))
+    got = float(odiou_3d_weighted(jnp.asarray(g), jnp.asarray(q),
+                                  jnp.ones(n), 2))
+    # ~1e-3 relative: the reference's calipers drop the closing hull edge
+    # (see ops/odiou.py docstring); everything else matches tightly
+    np.testing.assert_allclose(got, want, rtol=2e-3)
+
+    # per-pair values too (isolates which pair diverges on failure):
+    # with weights=1 and batch_size=2 the module returns 2*od_i/2 = od_i
+    od_ours = np.asarray(odiou_3d(jnp.asarray(g), jnp.asarray(q)))
+    for i in range(n):
+        want_i = float(ns['odiou_3D']()(
+            torch.from_numpy(g[i:i + 1]), torch.from_numpy(q[i:i + 1]),
+            torch.ones(1), 2))
+        np.testing.assert_allclose(od_ours[i], want_i,
+                                   atol=1e-4, rtol=5e-3,
+                                   err_msg=f'pair {i}')
+
+
 # -------------------------------------------------------- BEV backbone ----
 def test_bev_backbone_parity():
     import torch

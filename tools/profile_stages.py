@@ -22,7 +22,7 @@ def main():
     import jax.numpy as jnp
     import bench
 
-    forward, eval_vars, batch = bench.build_full_scale()
+    forward, eval_vars, batch, _tail = bench.build_full_scale()
     del forward
     from virconv_tpu.config import CfgNode, cfg_from_yaml_file
     from virconv_tpu.models.detectors.voxel_rcnn import VoxelRCNN

@@ -321,12 +321,17 @@ class AnchorHeadSingle(nn.Module):
         # off in shipped configs — anchor_head_template.py:296-318)
         from ...config import CfgNode
         if CfgNode(self.model_cfg).get('OD_LOSS', False):
-            from ...ops.odiou import odiou_3d_loss
+            # reference normalization (anchor_head_template.py:296-318 +
+            # odiou_loss.py:904-906): the loss module returns
+            # 2*sum(od)/batch_size over positives, and the template scales
+            # by a further 2/(n_pos + 1)
+            from ...ops.odiou import odiou_3d
             decoded = self.coder.decode(out['box_preds'], anchors)
             gt_dec = self.coder.decode(tgt['reg_targets'], anchors)
             w = positives.astype(jnp.float32)
-            od = jax.vmap(lambda p, g, ww: (odiou_3d_loss(p, g) * ww).sum())(
-                decoded, gt_dec, w).sum()
+            od_sum = jax.vmap(lambda g, p, ww: (odiou_3d(g, p) * ww).sum())(
+                gt_dec, decoded, w).sum()
+            od = 2.0 * od_sum / b
             od = 2.0 * od / (positives.sum() + 1)
             total = total + od
             tb['rpn_loss_od'] = od

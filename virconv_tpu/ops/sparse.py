@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 from typing import Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -260,6 +261,119 @@ def gathered_conv(feats: jnp.ndarray, neighbor_map: jnp.ndarray,
         contrib = jnp.dot(g, weights[j], preferred_element_type=jnp.float32)
         out = contrib if out is None else out + contrib
     return out * out_mask[:, None].astype(out.dtype)
+
+
+def _gathered_conv_raw(feats, neighbor_map, weights):
+    """K gathers + K accumulating matmuls, no output masking."""
+    k = neighbor_map.shape[1]
+    out = None
+    for j in range(k):
+        idx = neighbor_map[:, j]
+        safe = jnp.maximum(idx, 0)
+        g = feats[safe] * (idx >= 0)[:, None].astype(feats.dtype)
+        contrib = jnp.dot(g, weights[j], preferred_element_type=jnp.float32)
+        out = contrib if out is None else out + contrib
+    return out
+
+
+@jax.custom_vjp
+def gathered_conv_train(feats, neighbor_map, transpose_map, weights,
+                        out_mask, in_mask):
+    """gathered_conv with a gather-only custom VJP.
+
+    The autodiff backward of a row-gather is a scatter-add — the slowest
+    primitive class on TPU (docs/DESIGN.md S8). But the transpose of a
+    sparse conv is itself a sparse conv over the *same* key sets: input row
+    p receives gradient from exactly the output rows whose tap k reads p,
+    i.e. ``dfeats[p] = sum_k g[transpose_map[p, k]] @ W[k]^T``. With the
+    transpose map precomputed (submanifold: the tap-reversed neighbor map;
+    strided: :func:`build_strided_transpose_map`), the whole backward is
+    gathers + matmuls — no scatter ever.  dW re-gathers the forward blocks
+    (cheap remat) so nothing big is saved for backward either.
+
+    Reference behavior target: spconv's gather-GEMM backward
+    (``/root/reference/pcdet/models/backbones_3d/spconv_backbone.py:86-131``
+    relies on spconv's fused scatter kernels; TPU gets the algebraic
+    transpose instead).
+
+    Args:
+        feats: (N_in, C) input rows.
+        neighbor_map: (N_out, K) input row per (output, tap), -1 missing.
+        transpose_map: (N_in, K) output row whose tap k reads each input
+            row, -1 missing.
+        weights: (K, C, C').
+        out_mask: (N_out,) bool; in_mask: (N_in,) bool.
+    """
+    return _gathered_conv_raw(feats, neighbor_map, weights) \
+        * out_mask[:, None].astype(jnp.float32)
+
+
+def _gct_fwd(feats, neighbor_map, transpose_map, weights, out_mask, in_mask):
+    out = gathered_conv_train(feats, neighbor_map, transpose_map, weights,
+                              out_mask, in_mask)
+    return out, (feats, neighbor_map, transpose_map, weights, out_mask,
+                 in_mask)
+
+
+def _gct_bwd(res, g):
+    feats, nmap, tmap, w, out_mask, in_mask = res
+    g = g * out_mask[:, None].astype(g.dtype)
+    k = w.shape[0]
+    # dfeats: transpose conv — gathers of g via the transpose map, with
+    # W[k]^T as the tap weights (see derivation in the docstring)
+    wt = jnp.swapaxes(w, 1, 2)                          # (K, C', C)
+    dfeats = _gathered_conv_raw(g, tmap, wt) \
+        * in_mask[:, None].astype(jnp.float32)
+    dfeats = dfeats.astype(feats.dtype)
+    # dW[k] = (forward gather block k)^T @ g — re-gathered, not saved
+    dw = []
+    for j in range(k):
+        idx = nmap[:, j]
+        safe = jnp.maximum(idx, 0)
+        blk = feats[safe] * (idx >= 0)[:, None].astype(feats.dtype)
+        dw.append(jnp.dot(blk.T, g, preferred_element_type=jnp.float32))
+    dw = jnp.stack(dw).astype(w.dtype)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return dfeats, f0(nmap), f0(tmap), dw, f0(out_mask), f0(in_mask)
+
+
+gathered_conv_train.defvjp(_gct_fwd, _gct_bwd)
+
+
+def build_strided_transpose_map(st_in: SparseTensor, st_out: SparseTensor,
+                                stride, padding, kernel_size) -> jnp.ndarray:
+    """(N_in, K) map for the strided-conv transpose: entry (p, k) is the
+    OUTPUT row whose tap k reads input row p — the output site at
+    ``(coords_in[p] + pad - offset_k) / stride`` when that division is
+    exact and in bounds, else -1. Built with the same sorted-key lookup as
+    the forward maps."""
+    ndim = st_in.ndim
+    if isinstance(stride, int):
+        stride = (stride,) * ndim
+    if isinstance(padding, int):
+        padding = (padding,) * ndim
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * ndim
+
+    import numpy as np_
+    ranges = [np_.arange(kk) for kk in kernel_size]
+    offsets = jnp.asarray(
+        np_.stack(np_.meshgrid(*ranges, indexing='ij'), axis=-1)
+        .reshape(-1, ndim), dtype=jnp.int32)                # (K, ndim)
+
+    num = st_in.coords[:, None, 1:] + jnp.asarray(
+        [padding], jnp.int32)[:, None, :] - offsets[None]   # (N_in, K, ndim)
+    sv = jnp.asarray(stride, jnp.int32)
+    q = num // sv
+    ok = st_in.mask[:, None] & (num % sv == 0).all(-1) & (q >= 0).all(-1)
+    for i, s in enumerate(st_out.spatial_shape):
+        ok = ok & (q[:, :, i] < s)
+    strides_out, m = key_strides(st_out.spatial_shape)
+    qkey = st_in.coords[:, None, 0].astype(jnp.int32) * m
+    for i, s in enumerate(strides_out):
+        qkey = qkey + q[:, :, i] * s
+    qkey = jnp.where(ok, qkey, INVALID_KEY)
+    return make_lookup(st_out)(qkey.reshape(-1)).reshape(qkey.shape)
 
 
 def downsample_coords(st: SparseTensor, stride, padding,
@@ -614,9 +728,14 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
         k *= int(s)
     if not use_band:
         nmap = build_subm_neighbor_map(st, kernel_size)
+        # transpose map of a centered submanifold kernel is the tap-reversed
+        # neighbor map (offset_{K-1-k} == -offset_k) — backward is pure
+        # gathers via gathered_conv_train, never a scatter
+        tmap = nmap[:, ::-1]
         return ConvCtx('nmap', k,
                        lambda f, w, s=None, b=None, r=False: _epilogue(
-                           gathered_conv(f, nmap, w, st.mask),
+                           gathered_conv_train(f, nmap, tmap, w, st.mask,
+                                               st.mask),
                            st.mask, s, b, r))
 
     plan, keys = subm_band_plan(st, kernel_size, tile, block)
@@ -678,9 +797,12 @@ def strided_conv_ctx(st_in: SparseTensor, st_out: SparseTensor, stride,
     if not use_band:
         nmap = build_strided_neighbor_map(st_in, st_out, stride, padding,
                                           kernel_size)
+        tmap = build_strided_transpose_map(st_in, st_out, stride, padding,
+                                           kernel_size)
         return ConvCtx('nmap', k,
                        lambda f, w, s=None, b=None, r=False: _epilogue(
-                           gathered_conv(f, nmap, w, st_out.mask),
+                           gathered_conv_train(f, nmap, tmap, w,
+                                               st_out.mask, st_in.mask),
                            st_out.mask, s, b, r))
 
     plan, keys = strided_band_plan(st_in, st_out, stride, padding,
