@@ -54,7 +54,8 @@ def _raising_ext(name: str) -> types.ModuleType:
 _FAKE_PKGS = (
     'pcdet', 'pcdet.models', 'pcdet.models.backbones_2d',
     'pcdet.models.dense_heads', 'pcdet.models.dense_heads.target_assigner',
-    'pcdet.models.roi_heads', 'pcdet.models.model_utils',
+    'pcdet.models.roi_heads', 'pcdet.models.roi_heads.target_assigner',
+    'pcdet.models.model_utils',
     'pcdet.utils', 'pcdet.ops', 'pcdet.ops.iou3d_nms',
     'pcdet.ops.roiaware_pool3d',
 )

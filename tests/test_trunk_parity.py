@@ -198,6 +198,127 @@ def test_odiou_parity():
                                    err_msg=f'pair {i}')
 
 
+# ------------------------------------------------- rcnn targets & loss ----
+def _roi_head_cfg():
+    from virconv_tpu.config import CfgNode
+    return CfgNode({
+        'DP_RATIO': 0.01,
+        'TARGET_CONFIG': {
+            'BOX_CODER': 'ResidualCoder',
+            'STAGE0': {'ROI_PER_IMAGE': 16, 'FG_RATIO': 0.5,
+                       'SAMPLE_ROI_BY_EACH_CLASS': True,
+                       'CLS_SCORE_TYPE': 'roi_iou_x',
+                       'CLS_FG_THRESH': [0.75], 'CLS_BG_THRESH': [0.25],
+                       'CLS_BG_THRESH_LO': 0.1, 'HARD_BG_RATIO': 0.8,
+                       'REG_FG_THRESH': [0.55]},
+        },
+        'LOSS_CONFIG': {
+            'CLS_LOSS': 'BinaryCrossEntropy', 'REG_LOSS': 'smooth-l1',
+            'CORNER_LOSS_REGULARIZATION': True,
+            'LOSS_WEIGHTS': {'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+                             'rcnn_corner_weight': 1.0,
+                             'code_weights': [1.0] * 7}},
+    })
+
+
+def _make_ref_roi_template(cfg):
+    mod = rt.import_ref('pcdet.models.roi_heads.roi_head_template')
+    return mod.RoIHeadTemplate(num_class=1, model_cfg=cfg)
+
+
+def test_canonical_gt_transform_parity():
+    """assign_targets' canonical-frame transform + heading flip
+    (roi_head_template.py:139-158) vs target_assign._canonical_gt, with the
+    reference's stochastic ProposalTargetLayer patched to pass rois/gt
+    through unchanged (the transform is the deterministic part)."""
+    import torch
+    from virconv_tpu.models.roi_heads.target_assign import _canonical_gt
+    cfg = _roi_head_cfg()
+    ref = _make_ref_roi_template(cfg)
+    rng = np.random.default_rng(9)
+    b, n = 2, 16
+    rois = np.stack([_rand_boxes(rng, n) for _ in range(b)])
+    gt = rois + rng.normal(0, 0.3, rois.shape).astype(np.float32)
+    gt8 = np.concatenate([gt, np.ones((b, n, 1), np.float32)], -1)
+
+    class _Passthrough:
+        def forward(self, batch_dict, s):
+            return {'rois': torch.from_numpy(rois.copy()),
+                    'gt_of_rois': torch.from_numpy(gt8.copy()),
+                    'reg_valid_mask': torch.ones(b, n)}
+    ref.proposal_target_layers[0] = _Passthrough()
+    out = ref.assign_targets({'batch_size': b}, 0)
+    want = out['gt_of_rois'].numpy()
+
+    got = np.asarray(_canonical_gt(jnp.asarray(rois), jnp.asarray(gt8)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_rcnn_cls_and_reg_loss_parity():
+    """The full rcnn loss pieces (BCE cls; smooth-L1 + corner + bb_loss reg
+    with fg masking) vs the executed RoIHeadTemplate.get_box_*_layer_loss
+    (roi_head_template.py:161-291)."""
+    import torch
+    from virconv_tpu.config import CfgNode
+    from virconv_tpu.models.roi_heads.ted_head import TEDMHead
+    cfg = _roi_head_cfg()
+    ref = _make_ref_roi_template(cfg)
+    rng = np.random.default_rng(10)
+    b, n, code = 2, 16, 7
+
+    rois = np.stack([_rand_boxes(rng, n) for _ in range(b)])
+    gt_src = rois + rng.normal(0, 0.25, rois.shape).astype(np.float32)
+    # canonical gt like the pipeline produces
+    from virconv_tpu.models.roi_heads.target_assign import _canonical_gt
+    gt_ct = np.asarray(_canonical_gt(jnp.asarray(rois), jnp.asarray(gt_src)))
+    reg_valid = (rng.uniform(size=(b, n)) < 0.6).astype(np.int64)
+    # roi_iou_x soft labels are always in [0, 1] (no -1 ignore rows; torch
+    # F.binary_cross_entropy would reject them, so the reference BCE path
+    # never sees any)
+    cls_labels = rng.uniform(0.0, 1.0, (b, n)).astype(np.float32)
+    rcnn_cls = rng.standard_normal((b * n, 1)).astype(np.float32)
+    rcnn_reg = (rng.standard_normal((b * n, code)) * 0.1).astype(np.float32)
+
+    frd = {'rois': torch.from_numpy(rois),
+           'gt_of_rois': torch.from_numpy(gt_ct),
+           'gt_of_rois_src': torch.from_numpy(gt_src),
+           'reg_valid_mask': torch.from_numpy(reg_valid),
+           'rcnn_cls_labels': torch.from_numpy(cls_labels),
+           'rcnn_cls': torch.from_numpy(rcnn_cls),
+           'rcnn_reg': torch.from_numpy(rcnn_reg)}
+    want_cls, _ = ref.get_box_cls_layer_loss(frd)
+    want_reg, _ = ref.get_box_reg_layer_loss(frd)
+
+    # ours: TEDMHead._cls_loss / _reg_loss on the same tensors
+    mcfg = CfgNode({
+        'ROI_GRID_POOL': {'FEATURES_SOURCE': [], 'POOL_LAYERS': {},
+                          'GRID_SIZE': 6},
+        'ROI_GRID_POOL_MM': {'FEATURES_SOURCE': [], 'POOL_LAYERS': {},
+                             'GRID_SIZE': 6},
+        'SHARED_FC': [32], 'CLS_FC': [32], 'REG_FC': [32], 'DP_RATIO': 0.0,
+        'TARGET_CONFIG': cfg.TARGET_CONFIG,
+        'LOSS_CONFIG': cfg.LOSS_CONFIG})
+    head = TEDMHead(model_cfg=mcfg, num_class=1, rot_num=1,
+                    voxel_size=(0.05,) * 3,
+                    point_cloud_range=(0, -40, -3, 70.4, 40, 1),
+                    input_channels={})
+    tgt = {'gt_of_rois': jnp.asarray(gt_ct),
+           'gt_of_rois_src': jnp.asarray(gt_src),
+           'reg_valid_mask': jnp.asarray(reg_valid),
+           'rcnn_cls_labels': jnp.asarray(cls_labels)}
+    lw = {'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+          'rcnn_corner_weight': 1.0}
+    got_cls = head.apply({'params': {}}, jnp.asarray(rcnn_cls), tgt,
+                         method=TEDMHead._cls_loss)
+    got_reg, terms = head.apply(
+        {'params': {}}, jnp.asarray(rcnn_reg), jnp.asarray(rois), tgt,
+        lw, [1.0] * 7, method=TEDMHead._reg_loss)
+    np.testing.assert_allclose(float(got_cls), float(want_cls),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(got_reg), float(want_reg),
+                               atol=1e-4, rtol=1e-4)
+
+
 # -------------------------------------------------------- BEV backbone ----
 def test_bev_backbone_parity():
     import torch
