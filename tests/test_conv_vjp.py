@@ -103,3 +103,26 @@ def test_2d_subm_vjp_matches_autodiff():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_gather_rows_vjp_matches_autodiff():
+    """voxel_pool.gather_rows sorted-segment backward == autodiff of the
+    plain gather."""
+    from virconv_tpu.models.roi_heads.voxel_pool import gather_rows
+    rng = np.random.default_rng(4)
+    n, m, s, c = 200, 64, 16, 8
+    feats = jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (m, s)).astype(np.int32))
+    valid = jnp.asarray(rng.uniform(size=(m, s)) < 0.7)
+
+    def loss_ref(f):
+        g = f[idx] * valid[..., None]
+        return (g * (1.0 + 0.01 * jnp.arange(g.size).reshape(g.shape))).sum()
+
+    def loss_got(f):
+        g = gather_rows(f, idx, valid)
+        return (g * (1.0 + 0.01 * jnp.arange(g.size).reshape(g.shape))).sum()
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_got)(feats)),
+                               np.asarray(jax.grad(loss_ref)(feats)),
+                               atol=1e-4, rtol=1e-4)

@@ -28,6 +28,45 @@ from ..layers import MaskedBatchNorm
 CHUNK_BUDGET = 16_000_000
 
 
+@jax.custom_vjp
+def gather_rows(feats, idx, valid):
+    """feats[(M, S) idx] with invalid slots zeroed — and a sorted-segment
+    backward instead of autodiff's unsorted scatter-add.
+
+    The pooling gathers are the last big backward scatter after the conv
+    VJP rework (ops/sparse.gathered_conv_train): autodiff of feats[idx]
+    scatter-adds (M*S, C) rows at random offsets. Here the backward sorts
+    the flattened indices once and segment-sums the gradient rows, handing
+    XLA a scatter with sorted unique-run indices (docs/DESIGN.md S8: TPU
+    scatter throughput is far below gather; sorted monotone scatters
+    vectorize).
+    """
+    return feats[idx] * valid[..., None].astype(feats.dtype)
+
+
+def _gr_fwd(feats, idx, valid):
+    # feats[:0] is a zero-row dtype/width token (backward never reads
+    # feats values; residual leaves must be jax types, so no raw dtypes)
+    return gather_rows(feats, idx, valid), (feats[:0], feats.shape[0], idx,
+                                            valid)
+
+
+def _gr_bwd(res, g):
+    ftok, n, idx, valid = res
+    flat_idx = jnp.where(valid, idx, n).reshape(-1)
+    g2 = g.reshape(-1, g.shape[-1])
+    order = jnp.argsort(flat_idx)
+    fs = flat_idx[order]
+    gs = g2[order]
+    dfeats = jax.ops.segment_sum(gs, fs, num_segments=n + 1,
+                                 indices_are_sorted=True)[:n]
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return dfeats.astype(ftok.dtype), f0(idx), f0(valid)
+
+
+gather_rows.defvjp(_gr_fwd, _gr_bwd)
+
+
 def build_row_table(st: sp.SparseTensor) -> jnp.ndarray:
     """Dense (B*D*H*W,) int32 table: voxel key -> row index (-1 empty)."""
     d, h, w = st.spatial_shape
@@ -373,7 +412,7 @@ class NeighborVoxelSAModule(nn.Module):
         scale, bias = _MomentBN(mid, name=f'mlp_pos_bn{g}')(
             mean, var, cnt, train)
         # normalized pos, folded into one affine map of rel
-        grouped = feats[idx] * valid[..., None]          # (M, S, mid)
+        grouped = gather_rows(feats, idx, valid)         # (M, S, mid)
         pos = rel @ w_pos
         pos = pos * scale + bias
         pos = jnp.where(qmask_rows[..., None], pos, 0.0)
