@@ -57,14 +57,22 @@ def _bev_corners(boxes):
     return jnp.stack([ctr + u + v, ctr + u - v, ctr - u + v, ctr - u - v], 1)
 
 
-def _mbr_diag(corners):
-    """Diagonal of the minimum-area enclosing rectangle of (N, P, 2)
-    points (reference ``mbr_diag_convex_hull``: rotating calipers over
-    convex-hull edges). The min over all orientations is attained at a
-    hull-edge angle, so evaluating every pairwise-difference angle (a
-    superset of the hull edges) finds the same minimum — no hull needed."""
+def _mbr_diag_sq(corners):
+    """Squared diagonal of the minimum-area enclosing rectangle of
+    (N, P, 2) points (reference ``mbr_diag_convex_hull``: rotating
+    calipers over convex-hull edges). The min over all orientations is
+    attained at a hull-edge angle, so evaluating every pairwise-difference
+    angle (a superset of the hull edges) finds the same minimum — no hull
+    needed. Returns diag**2 (sqrt of a possibly-zero spread has a NaN
+    gradient, and the only consumer squares it anyway)."""
     d = corners[:, :, None, :] - corners[:, None, :, :]     # (N, P, P, 2)
-    ang = jnp.arctan2(d[..., 1], d[..., 0])
+    # i == j (and duplicate-corner) pairs give d == 0, where arctan2 has a
+    # NaN gradient (0/0). Substitute a fixed direction for those pairs:
+    # arctan2(0, 1) == 0 keeps the forward value identical and autodiff
+    # sees no dependence on the masked inputs.
+    nz = (jnp.abs(d[..., 0]) + jnp.abs(d[..., 1])) > 1e-9
+    ang = jnp.arctan2(jnp.where(nz, d[..., 1], 0.0),
+                      jnp.where(nz, d[..., 0], 1.0))
     ang = jnp.abs(jnp.fmod(ang, np.pi / 2))                 # ref: fmod + abs
     n, p = corners.shape[0], corners.shape[1]
     ang = ang.reshape(n, p * p)                             # (N, A)
@@ -81,7 +89,7 @@ def _mbr_diag(corners):
     best = jnp.argmin(areas, axis=1)
     bw = jnp.take_along_axis(wx, best[:, None], 1)[:, 0]
     bh = jnp.take_along_axis(wy, best[:, None], 1)[:, 0]
-    return jnp.sqrt(bw ** 2 + bh ** 2)
+    return bw ** 2 + bh ** 2
 
 
 def odiou_3d(gboxes, qboxes):
@@ -103,10 +111,12 @@ def odiou_3d(gboxes, qboxes):
     vol_inc = inter_h * inter_area
     vol_union = (g[:, 3] * g[:, 4] * g[:, 5]
                  + q[:, 3] * q[:, 4] * q[:, 5] - vol_inc)
-    iou = vol_inc / vol_union
+    # pairs masked out by `ok` can have vol_union == 0; a NaN there would
+    # leak through the final where's backward pass (NaN * 0 == NaN)
+    iou = vol_inc / jnp.where(ok, vol_union, 1.0)
 
     corners = jnp.concatenate([_bev_corners(gr), _bev_corners(qr)], 1)
-    mbr_sq = _mbr_diag(corners) ** 2 + inter_h ** 2 + 1e-7
+    mbr_sq = _mbr_diag_sq(corners) + inter_h ** 2 + 1e-7
     center_sq = jnp.sum((g[:, 0:3] - q[:, 0:3]) ** 2, -1)
 
     od = 1.0 - iou + center_sq / mbr_sq + angle_factor
