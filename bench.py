@@ -49,7 +49,10 @@ def build_full_scale(frames=FRAMES):
 
     rng = np.random.default_rng(0)
     n_rep = cfg.DATA_CONFIG.ROT_NUM
-    n_pts = 65536
+    # per-stream pads match KITTI statistics: FOV-cropped LiDAR is ~20-30k
+    # points (32k cap), the fused real+virtual cloud ~56k (64k cap) — the
+    # loader likewise pads to per-stream MAX_POINTS
+    n_lpts, n_pts = 32768, 65536
 
     def synth_points(n_entries):
         """KITTI-statistics street scenes (ground + cars + walls), one per
@@ -57,8 +60,8 @@ def build_full_scale(frames=FRAMES):
         that saturates the 40k mm voxel cap — matching real eval load
         (virconv_tpu.utils.synth_scene docstring has the derivation)."""
         from virconv_tpu.utils.synth_scene import make_scene, scene_stats
-        lpts = np.zeros((n_entries, n_pts, 8), np.float32)
-        lval = np.zeros((n_entries, n_pts), bool)
+        lpts = np.zeros((n_entries, n_lpts, 8), np.float32)
+        lval = np.zeros((n_entries, n_lpts), bool)
         mpts = np.zeros((n_entries, n_pts, 8), np.float32)
         mval = np.zeros((n_entries, n_pts), bool)
         for e in range(n_entries):
@@ -67,6 +70,9 @@ def build_full_scale(frames=FRAMES):
                 [s['lidar'][:, :4],
                  np.zeros((len(s['lidar']), 3), np.float32),
                  np.ones((len(s['lidar']), 1), np.float32)], -1)
+            if len(lidar8) > n_lpts:
+                lidar8 = lidar8[rng.choice(len(lidar8), n_lpts,
+                                           replace=False)]
             fused = np.concatenate([lidar8, s['virtual']], 0)
             if len(fused) > n_pts:
                 keep = rng.choice(len(fused), n_pts, replace=False)
