@@ -222,14 +222,21 @@ def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
         group_of=plan.group_of, n_groups=n_groups, bf16=bf16, relu=relu,
         affine=affine)
 
+    # The scalar-prefetch table is flattened 1-D: XLA materializes the
+    # prefetched operand in SMEM in its *device layout*, and a 2-D
+    # (n_tiles, G) int32 gets the (8, 128)-tiled layout — G=3 pads to 128
+    # lanes, a 42x blow-up that overflows the 1MB SMEM above ~2000 tiles
+    # (~260k rows; seen as 'prefetched SMEM operand 0' alloc failures).
+    # 1-D keeps the SMEM copy at n_tiles*G ints.
     def key_spec(g, off):
         return pl.BlockSpec(
             (1, 1, block),
-            lambda i, blk, g=g, off=off: (blk[i, g] + off, 0, 0))
+            lambda i, blk, g=g, off=off: (blk[i * n_groups + g] + off, 0, 0))
 
     def feat_spec(g, off):
         return pl.BlockSpec(
-            (block, c_in), lambda i, blk, g=g, off=off: (blk[i, g] + off, 0))
+            (block, c_in),
+            lambda i, blk, g=g, off=off: (blk[i * n_groups + g] + off, 0))
 
     kspecs = [key_spec(g, off) for g in range(n_groups) for off in (0, 1)]
     fspecs = [feat_spec(g, off) for g in range(n_groups) for off in (0, 1)]
@@ -259,7 +266,8 @@ def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c_out), jnp.float32),
         interpret=interpret,
-    )(plan.blk, plan.base_keys[:, :, None], plan.valid_bits[:, :, None],
+    )(plan.blk.reshape(-1), plan.base_keys[:, :, None],
+      plan.valid_bits[:, :, None],
       *([keys2d] * (2 * n_groups)),
       *([feats] * (2 * n_groups)),
       weights.reshape(k * c_in, c_out).astype(wdt),

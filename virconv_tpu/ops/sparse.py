@@ -164,9 +164,13 @@ def lookup(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
 
 
 # Key spaces up to this many cells use a dense scatter table for neighbor
-# lookup (O(1) gathers) instead of sorted binary search. 96M int32 = 384 MB
+# lookup (O(1) gathers) instead of sorted binary search. 128M int32 = 512 MB
 # transient — cheap next to conv activations, ~10x faster than searchsorted.
-DENSE_LOOKUP_MAX = 96_000_000
+# Sized to keep the stride-2 scale (11.8M cells/entry, 13.0M with halo) in
+# dense mode up to the 9-entry ceiling of batch*ROT_NUM on int32 keys: a
+# 96M budget silently dropped stride-2 to searchsorted exactly when
+# bench.py batched 3 frames.
+DENSE_LOOKUP_MAX = 128_000_000
 
 
 def make_lookup(st: "SparseTensor"):
@@ -669,6 +673,12 @@ def _epilogue(out, mask, scale, bias, relu):
 
 
 BAND_PATCH_CAP = 2048
+# Bad rows (slab-straddling + entry-boundary tiles) scale with batch
+# entries: measured ~0.4-0.5% of rows at KITTI occupancy. A fixed cap that
+# fits 3 entries overflows at 9 (batch=3 x ROT_NUM=3), tripping the full
+# nmap fallback for EVERY conv layer — the 2.6x per-frame blowup first seen
+# when bench.py went to FRAMES=3. Scale the cap with rows instead.
+BAND_PATCH_FRACTION = 64   # cap >= n_out / 64 = 1.6% of rows
 
 
 def _band_patch(plan, lookup_fn, first_index=None, patch_cap=None):
@@ -682,9 +692,11 @@ def _band_patch(plan, lookup_fn, first_index=None, patch_cap=None):
     patch matches the in-kernel first-wins gather semantics (2D tensors).
     """
     from .pallas.band_conv import INVALID_KEY, ROW_VALID_BIT
-    if patch_cap is None:
-        patch_cap = BAND_PATCH_CAP   # read at call time (testable)
     n_out = plan.n_out
+    if patch_cap is None:
+        # read at call time (testable); grows with rows so multi-entry
+        # batches keep the same headroom ratio as single frames
+        patch_cap = max(BAND_PATCH_CAP, n_out // BAND_PATCH_FRACTION)
     k = len(plan.deltas)
     flat_base = plan.base_keys.reshape(-1)[:n_out]
     flat_bits = plan.valid_bits.reshape(-1)[:n_out]
