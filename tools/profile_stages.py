@@ -22,7 +22,8 @@ def main():
     import jax.numpy as jnp
     import bench
 
-    forward, eval_vars, batch, _tail = bench.build_full_scale()
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else bench.FRAMES
+    forward, eval_vars, batch, _tail = bench.build_full_scale(frames=frames)
     del forward
     from virconv_tpu.config import CfgNode, cfg_from_yaml_file
     from virconv_tpu.models.detectors.voxel_rcnn import VoxelRCNN
@@ -34,8 +35,15 @@ def main():
         lambda x: jnp.asarray(x) if x is not None else None, batch,
         is_leaf=lambda x: x is None)
 
-    stages = ['voxelize', 'backbone', 'bev', 'rpn',
-              'pool0', 'stage0', 'stage1', None]
+    all_stages = ['voxelize', 'backbone', 'bev', 'rpn',
+                  'pool0', 'stage0', 'stage1', None]
+    if len(sys.argv) > 1:
+        # e.g. `profile_stages.py backbone,rpn,full` — targeted prefixes
+        # (each fresh prefix compile costs 10-40 min on the tunnel)
+        stages = [None if s in ('full', 'None') else s
+                  for s in sys.argv[1].split(',')]
+    else:
+        stages = all_stages
     times = {}
     for s in stages:
         fn = jax.jit(functools.partial(model.apply, train=False, stage=s))

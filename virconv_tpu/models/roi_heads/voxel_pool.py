@@ -24,8 +24,14 @@ from flax import linen as nn
 from ...ops import sparse as sp
 from ..layers import MaskedBatchNorm
 
-# max elements of the (m, K) candidate buffers before query chunking kicks in
+# max elements of the (m, K) candidate buffers before query chunking kicks
+# in. The train budget is a 16 GB-HBM guard (remat keeps conv activations
+# live next to these buffers); eval has no such pressure, and chunking
+# costs real time — each chunk is a serialized lax.map iteration whose
+# dynamic_update_slice copies defeat fusion. 64M covers the 9-entry
+# (batch 3 x ROT_NUM 3) eval pools (m*k = 60M) unchunked.
 CHUNK_BUDGET = 16_000_000
+CHUNK_BUDGET_EVAL = 64_000_000
 
 
 @jax.custom_vjp
@@ -214,7 +220,7 @@ def _bit_probe(occ, lanes, nine, n_cells, qcoords, qmask, d, h, w):
 
 def voxel_query_groups(st: sp.SparseTensor, table, query_xyz, query_coords,
                        query_mask, group_specs, voxel_size, stride,
-                       point_cloud_range):
+                       point_cloud_range, chunk_budget=None):
     """Multi-group voxel query sharing ONE window probe.
 
     The groups' windows nest (each box contains the previous), so the union
@@ -309,9 +315,10 @@ def voxel_query_groups(st: sp.SparseTensor, table, query_xyz, query_coords,
 
     # chunk large query sets so the (m, K) candidate buffers stay bounded
     # (training at reference batch sizes reaches m*K in the tens of M)
-    if m * k <= CHUNK_BUDGET:
+    budget = CHUNK_BUDGET if chunk_budget is None else chunk_budget
+    if m * k <= budget:
         return list(probe(query_xyz, query_coords, query_mask))
-    chunks = -(-(m * k) // CHUNK_BUDGET)
+    chunks = -(-(m * k) // budget)
     csize = -(-m // chunks)
     pad = csize * chunks - m
     qx = jnp.pad(query_xyz, ((0, pad), (0, 0))).reshape(chunks, csize, 3)
@@ -360,7 +367,8 @@ class NeighborVoxelSAModule(nn.Module):
                       for g in range(len(self.query_ranges)))
         queries = voxel_query_groups(
             st, table, query_xyz, query_coords, query_mask, specs,
-            self.voxel_size, stride, self.point_cloud_range)
+            self.voxel_size, stride, self.point_cloud_range,
+            chunk_budget=None if train else CHUNK_BUDGET_EVAL)
         outs = []
         for g in range(len(self.query_ranges)):
             mid, out_c = self.mlps[g]
