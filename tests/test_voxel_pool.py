@@ -145,3 +145,51 @@ def test_grouped_bits_probe_matches_dense():
         np.testing.assert_array_equal(np.asarray(di), np.asarray(bi))
         np.testing.assert_allclose(np.asarray(dc), np.asarray(bc),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_sa_group_body_chunked_matches_direct(monkeypatch):
+    """The train-time chunked SA group body (bounded (Mc, S, mid) temps)
+    must match the direct path in outputs AND feature gradients."""
+    import virconv_tpu.models.roi_heads.voxel_pool as vp
+    from virconv_tpu.models.roi_heads.voxel_pool import NeighborVoxelSAModule
+    rng = np.random.default_rng(11)
+    spatial = (8, 20, 20)
+    vs = (0.2, 0.2, 0.2)
+    pcr = (0, -2, -0.8, 4, 2, 0.8)
+    st = make_sparse(rng, spatial)
+    m = 60
+    qxyz = rng.uniform([0.2, -1.8, -0.6], [3.8, 1.8, 0.6],
+                       (m, 3)).astype(np.float32)
+    qb = rng.integers(0, 2, m).astype(np.int32)
+    cell = np.floor((qxyz - np.array(pcr[:3])) / np.array(vs)).astype(
+        np.int32)
+    qcoords = jnp.asarray(np.stack([qb, cell[:, 2], cell[:, 1],
+                                    cell[:, 0]], -1))
+    qmask = jnp.asarray(np.ones(m, bool))
+    qxyz = jnp.asarray(qxyz)
+    mod = NeighborVoxelSAModule(
+        query_ranges=((1, 1, 1), (2, 2, 2)), radii=(0.4, 0.45),
+        nsamples=(4, 6), mlps=((8, 8), (8, 8)), voxel_size=vs,
+        point_cloud_range=pcr)
+    rngs = {'params': jax.random.PRNGKey(0)}
+    v = mod.init(rngs, st, 1, qxyz, qcoords, qmask, True)
+
+    def run(params):
+        out, _ = mod.apply(
+            {'params': params, 'batch_stats': v.get('batch_stats', {})},
+            st, 1, qxyz, qcoords, qmask, True, mutable=['batch_stats'])
+        return out
+
+    def loss(params):
+        return (run(params) ** 2).sum()
+
+    base = np.asarray(run(v['params']))
+    gbase = jax.grad(loss)(v['params'])
+    monkeypatch.setattr(vp, 'TRAIN_GATHER_BUDGET', 64)   # force chunking
+    chunk = np.asarray(run(v['params']))
+    gchunk = jax.grad(loss)(v['params'])
+    np.testing.assert_allclose(base, chunk, rtol=1e-5, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+        gbase, gchunk)

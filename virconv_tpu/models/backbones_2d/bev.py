@@ -36,14 +36,19 @@ class BaseBEVBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # remat each conv block: the BEV pyramid's saved activations
+        # ((B, 200, 176, 64-256) per layer x 10 layers) were ~1.5 GB of the
+        # train step's HBM; recomputing dense 3x3 convs in the backward is
+        # cheap next to that (static_argnums: 0=self, 2=train)
+        Block = nn.remat(DenseConvBlock, static_argnums=(2,))
         ups = []
         for i, n_layers in enumerate(self.layer_nums):
-            x = DenseConvBlock(self.num_filters[i],
-                               stride=(self.layer_strides[i],) * 2,
-                               name=f'block{i}_down')(x, train)
+            x = Block(self.num_filters[i],
+                      stride=(self.layer_strides[i],) * 2,
+                      name=f'block{i}_down')(x, train)
             for k in range(n_layers):
-                x = DenseConvBlock(self.num_filters[i],
-                                   name=f'block{i}_conv{k}')(x, train)
+                x = Block(self.num_filters[i],
+                          name=f'block{i}_conv{k}')(x, train)
             s = self.upsample_strides[i]
             if s > 1:
                 u = nn.ConvTranspose(self.num_upsample_filters[i], (s, s),

@@ -32,6 +32,10 @@ from ..layers import MaskedBatchNorm
 # (batch 3 x ROT_NUM 3) eval pools (m*k = 60M) unchunked.
 CHUNK_BUDGET = 16_000_000
 CHUNK_BUDGET_EVAL = 64_000_000
+# max elements of a resident (Mc, S, mid) pooled-feature temp in the SA
+# group body at train time (see _group_body): 16M f32 = 64 MB unpadded,
+# 256 MB in the 4x-padded 32-lane layout XLA picks for it
+TRAIN_GATHER_BUDGET = 16_000_000
 
 
 @jax.custom_vjp
@@ -419,14 +423,48 @@ class NeighborVoxelSAModule(nn.Module):
             jnp.einsum('ic,ic->c', w_pos, (s2 / cnt) @ w_pos), 0.0)
         scale, bias = _MomentBN(mid, name=f'mlp_pos_bn{g}')(
             mean, var, cnt, train)
-        # normalized pos, folded into one affine map of rel
-        grouped = gather_rows(feats, idx, valid)         # (M, S, mid)
-        pos = rel @ w_pos
-        pos = pos * scale + bias
-        pos = jnp.where(qmask_rows[..., None], pos, 0.0)
-        x = nn.relu(grouped + pos)
-        x = jnp.where(valid[..., None], x, 0.0)
-        return x.max(axis=1)                             # (M, mid)
+
+        # normalized pos (folded into one affine map of rel) + gather +
+        # relu + max. The gather's (M, S, mid) output does NOT fuse into
+        # the max on TPU (XLA inserts a layout copy between the gather
+        # fusion and the reduce), so at train scale it materializes — for
+        # the x_conv4 pool that is f32[3.3M, 32] padded 4x to 1.58 GB, the
+        # single largest train-step allocation. Chunk the body over
+        # queries at train time so the resident temp stays bounded; eval
+        # query counts are ~20x smaller and stay on the direct path.
+        def tail(idx_, valid_, rel_, qm_):
+            grouped = gather_rows(feats, idx_, valid_)   # (Mc, S, mid)
+            pos = rel_ @ w_pos
+            pos = pos * scale + bias
+            pos = jnp.where(qm_[..., None], pos, 0.0)
+            x = nn.relu(grouped + pos)
+            x = jnp.where(valid_[..., None], x, 0.0)
+            return x.max(axis=1)                         # (Mc, mid)
+
+        m, s = idx.shape
+        if not train or m * s * mid <= TRAIN_GATHER_BUDGET:
+            return tail(idx, valid, rel, qmask_rows)
+        csize = max(512, TRAIN_GATHER_BUDGET // (s * mid))
+        nchunk = -(-m // csize)
+        pad = nchunk * csize - m
+        idx_p = jnp.pad(idx, ((0, pad), (0, 0)))
+        val_p = jnp.pad(valid, ((0, pad), (0, 0)))
+        rel_p = jnp.pad(rel, ((0, pad), (0, 0), (0, 0)))
+        qm_p = jnp.pad(qmask_rows, ((0, pad), (0, 0)))
+        # checkpoint the chunk body: without it the scan stacks each
+        # iteration's (Mc, S, mid) gather + masks as backward residuals —
+        # re-materializing the very (M, S, mid) buffers the chunking
+        # exists to avoid (seen as f32[7,31250,16,32] HLO temps). With it
+        # each iteration saves only its small int/bool/3-dim inputs and
+        # recomputes the gather in the backward pass.
+        tail_ck = jax.checkpoint(tail)
+        out = jax.lax.map(
+            lambda a: tail_ck(*a),
+            (idx_p.reshape(nchunk, csize, s),
+             val_p.reshape(nchunk, csize, s),
+             rel_p.reshape(nchunk, csize, s, 3),
+             qm_p.reshape(nchunk, csize, s)))
+        return out.reshape(-1, mid)[:m]                  # (M, mid)
 
 
 class _PosKernel(nn.Module):
