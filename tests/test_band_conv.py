@@ -206,7 +206,12 @@ def test_band_ctx_exact_on_unsorted_keys():
 def test_band_ctx_falls_back_when_patch_overflows(monkeypatch):
     """bad rows > patch capacity -> the exact full-nmap fallback runs."""
     rng = np.random.default_rng(8)
+    # pin BOTH terms of max(BAND_PATCH_CAP, n_out // BAND_PATCH_FRACTION):
+    # with only the cap patched, n_out=512 keeps the fraction term at
+    # exactly 8 by accident, and growing the test tensor would silently
+    # stop forcing overflow (advisor round-3 finding)
     monkeypatch.setattr(sp, 'BAND_PATCH_CAP', 8)
+    monkeypatch.setattr(sp, 'BAND_PATCH_FRACTION', 64)
     st = make_random_sparse(rng, batch_size=1, spatial=(6, 4, 24),
                             n_valid=500, capacity=512, channels=4)
     w = (rng.standard_normal((27, 4, 6)) * 0.2).astype(np.float32)

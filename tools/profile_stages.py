@@ -68,12 +68,20 @@ def main():
         times[s] = (time.perf_counter() - t0) / iters
         print(f'{s}: {times[s]:.3f}s', flush=True)
 
+    # deltas are per-stage costs ONLY between consecutive prefixes of the
+    # full pipeline; with a user-selected subset they are "vs previous
+    # listed prefix" (and the first has no baseline) — label accordingly
+    subset = len(sys.argv) > 1 and stages != all_stages
     prev = 0.0
     print('--- stage attribution ---')
-    for s in stages:
+    for i, s in enumerate(stages):
         name = s or 'roi(full)'
-        print(f'{name:12s} cumulative {times[s]:7.3f}s   '
-              f'delta {times[s] - prev:7.3f}s')
+        if subset:
+            delta = (f'delta vs prev listed {times[s] - prev:7.3f}s'
+                     if i else 'delta n/a (no baseline prefix)')
+        else:
+            delta = f'delta {times[s] - prev:7.3f}s'
+        print(f'{name:12s} cumulative {times[s]:7.3f}s   {delta}')
         prev = times[s]
 
 

@@ -23,7 +23,6 @@ valid rows during training via the 'stvd' rng stream.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -116,12 +115,7 @@ class NRConvBlock(nn.Module):
         st2d = sp.SparseTensor(feats=d3.feats, coords=coords2d, mask=d3.mask,
                                spatial_shape=IMG_GRID,
                                batch_size=st.batch_size)
-        # VIRCONV_BAND2D=0 keeps the eval 2D branch on the dense-table nmap
-        # path (no sort/un-sort round trip; the 0.96M-cell image grid makes
-        # the 9-tap map build one cheap table gather per tap) — an A/B
-        # switch for measuring the band path's sort cost on hardware.
-        band2d = band and os.environ.get('VIRCONV_BAND2D', '1') not in (
-            '0', 'false', 'False')
+        band2d = band and sp.band2d_enabled()
         if not band2d:
             # 2D grid key space is small -> dense-table lookup works on
             # unsorted rows, so the image-plane tensor keeps d3's row order

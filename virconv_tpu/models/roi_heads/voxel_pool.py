@@ -29,7 +29,11 @@ from ..layers import MaskedBatchNorm
 # live next to these buffers); eval has no such pressure, and chunking
 # costs real time — each chunk is a serialized lax.map iteration whose
 # dynamic_update_slice copies defeat fusion. 64M covers the 9-entry
-# (batch 3 x ROT_NUM 3) eval pools (m*k = 60M) unchunked.
+# (batch 3 x ROT_NUM 3) eval pools (m*k = 60M) unchunked. The unchunked
+# (m, K, 3) f32 candidate-center temps reach ~720 MB at those pools —
+# safe ONLY because the int32 key space caps batch*ROT_NUM at 9 entries
+# (ops/sparse.coords_to_keys assert); widening the key type must revisit
+# this budget.
 CHUNK_BUDGET = 16_000_000
 CHUNK_BUDGET_EVAL = 64_000_000
 # max elements of a resident (Mc, S, mid) pooled-feature temp in the SA

@@ -620,13 +620,29 @@ def band_enabled() -> bool:
 
     Defaults to TPU-only (the CPU fallback is interpret mode — fine for
     unit tests, far too slow for whole-model runs). Override with
-    VIRCONV_BAND=0/1.
+    VIRCONV_BAND=0/1. NOTE: read at trace time — toggling the env var
+    after a jitted function is compiled has no effect until a fresh
+    trace (new process or cache-missing jit); A/B measurements need one
+    process per setting.
     """
     import os
     env = os.environ.get('VIRCONV_BAND')
     if env is not None:
         return env not in ('0', 'false', 'False')
     return jax.default_backend() == 'tpu'
+
+
+def band2d_enabled() -> bool:
+    """Whether the NRConv image-plane 2D convs use the band kernel too.
+
+    VIRCONV_BAND2D=0 keeps the eval 2D branch on the dense-table nmap
+    path (no sort/un-sort round trip; the 0.96M-cell image grid makes the
+    9-tap map build one cheap table gather per tap) — the A/B switch for
+    measuring the band path's sort cost on hardware. Trace-time capture,
+    same caveat as :func:`band_enabled`."""
+    import os
+    return os.environ.get('VIRCONV_BAND2D', '1') not in ('0', 'false',
+                                                         'False')
 
 
 class ConvCtx:
