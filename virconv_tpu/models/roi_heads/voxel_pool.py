@@ -461,13 +461,23 @@ class NeighborVoxelSAModule(nn.Module):
         # exists to avoid (seen as f32[7,31250,16,32] HLO temps). With it
         # each iteration saves only its small int/bool/3-dim inputs and
         # recomputes the gather in the backward pass.
-        tail_ck = jax.checkpoint(tail)
+        #
+        # Chunk inputs ride lax.map as stacked HBM residents; keep the tiny
+        # S / 3 dims OFF the minor (lane) axis — (csize, S) s32 stores
+        # T(8,128)-padded 8x (S=16 lanes -> 128) and was the largest
+        # train-step temp class (2x ~300 MB per pool scale in the batch-2
+        # OOM report). Transposed (S, csize) / (3, S, csize) layouts pad
+        # ~1x; the per-chunk transposes back inside the body are a few MB
+        # of VMEM traffic.
+        tail_ck = jax.checkpoint(
+            lambda i_, v_, r_, q_: tail(i_.T, v_.T, r_.transpose(2, 1, 0),
+                                        q_.T))
         out = jax.lax.map(
             lambda a: tail_ck(*a),
-            (idx_p.reshape(nchunk, csize, s),
-             val_p.reshape(nchunk, csize, s),
-             rel_p.reshape(nchunk, csize, s, 3),
-             qm_p.reshape(nchunk, csize, s)))
+            (idx_p.reshape(nchunk, csize, s).transpose(0, 2, 1),
+             val_p.reshape(nchunk, csize, s).transpose(0, 2, 1),
+             rel_p.reshape(nchunk, csize, s, 3).transpose(0, 3, 2, 1),
+             qm_p.reshape(nchunk, csize, s).transpose(0, 2, 1)))
         return out.reshape(-1, mid)[:m]                  # (M, mid)
 
 
