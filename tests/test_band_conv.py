@@ -26,6 +26,28 @@ def test_subm_band_matches_gathered_conv():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
 
+def test_band_ctx_bf16_feats_out_dtype_and_close(monkeypatch):
+    """VIRCONV_BF16_FEATS: band ctx emits bf16 rows (patch rows included)
+    within bf16 tolerance of the f32 oracle."""
+    monkeypatch.setattr(sp, 'feats_bf16_enabled', lambda: True)
+    rng = np.random.default_rng(5)
+    st = make_random_sparse(rng, batch_size=1, spatial=(6, 16, 14),
+                            n_valid=300, capacity=384, channels=8)
+    w = (rng.standard_normal((27, 8, 8)) * 0.2).astype(np.float32)
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    want = np.asarray(sp.gathered_conv(st.feats, nmap, jnp.asarray(w),
+                                       st.mask))
+    ctx = sp.subm_conv_ctx(st, 3, use_band=True, tile=16, block=64)
+    got = ctx.conv(st.feats, jnp.asarray(w))
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=0.15, rtol=0.05)
+    # second layer consumes the bf16 rows (the inter-layer contract)
+    got2 = ctx.conv(got, jnp.asarray(w))
+    assert got2.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(got2, np.float32)).all()
+
+
 def test_subm_band_bf16_close():
     rng = np.random.default_rng(1)
     st = make_random_sparse(rng, batch_size=1, spatial=(6, 16, 14),

@@ -37,9 +37,12 @@ from ..layers import MaskedBatchNorm
 CHUNK_BUDGET = 16_000_000
 CHUNK_BUDGET_EVAL = 64_000_000
 # max elements of a resident (Mc, S, mid) pooled-feature temp in the SA
-# group body at train time (see _group_body): 16M f32 = 64 MB unpadded,
-# 256 MB in the 4x-padded 32-lane layout XLA picks for it
-TRAIN_GATHER_BUDGET = 16_000_000
+# group body at train time (see _group_body). 8M: with ~6 such temps live
+# across the interleaved fwd/transpose pool computations, 16M left the
+# full-scale batch=1 train step 44 MB over the 15.75 G HBM ceiling
+# (round-4 bench_train OOM report); halving the chunk size costs one more
+# lax.map iteration per pool, not gather volume.
+TRAIN_GATHER_BUDGET = 8_000_000
 
 
 @jax.custom_vjp

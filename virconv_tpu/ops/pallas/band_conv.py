@@ -182,13 +182,13 @@ def _kernel(blk_ref, qk_ref, vb_ref, *refs, tile, block, deltas, group_of,
         out = out * scale_ref[0][None, :] + bias_ref[0][None, :]
     if relu:
         out = jnp.maximum(out, 0.0)
-    out_ref[:] = out * row_ok.astype(out.dtype)
+    out_ref[:] = (out * row_ok.astype(out.dtype)).astype(out_ref.dtype)
 
 
 def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
               weights: jnp.ndarray, scale=None, bias=None,
               relu: bool = False, bf16: bool = True,
-              interpret: bool = False) -> jnp.ndarray:
+              interpret: bool = False, out_dtype=jnp.float32) -> jnp.ndarray:
     """Apply one sparse conv through the band-window kernel.
 
     Args:
@@ -198,8 +198,11 @@ def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
         weights: (K, C, C').
         scale/bias: optional (C',) fused affine (eval-mode BN).
         relu: fuse a ReLU after the affine.
+        out_dtype: output store dtype (compute/epilogue stay f32 in
+            register; bf16 halves the output write + downstream reads).
     Returns:
-        (N_out, C') float32 (invalid rows zero). Exact iff plan.span_ok.
+        (N_out, C') ``out_dtype`` (invalid rows zero). Exact iff
+        plan.span_ok.
     """
     tile, block = plan.tile, plan.block
     n_in, c_in = feats.shape
@@ -264,7 +267,7 @@ def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, c_out), out_dtype),
         interpret=interpret,
     )(plan.blk.reshape(-1), plan.base_keys[:, :, None],
       plan.valid_bits[:, :, None],

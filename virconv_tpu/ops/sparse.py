@@ -632,6 +632,20 @@ def band_enabled() -> bool:
     return jax.default_backend() == 'tpu'
 
 
+def feats_bf16_enabled() -> bool:
+    """Whether band-mode eval convs emit bf16 inter-layer features.
+
+    The band kernel computes in bf16 internally either way (matmuls) with
+    f32 accumulation; this flag additionally *stores* the (N, C) tensors
+    between layers as bf16, halving the HBM read/write traffic of every
+    conv, BN-fold epilogue and window DMA on the eval path. Off by
+    default until measured (VIRCONV_BF16_FEATS=1 to enable); trace-time
+    capture, same caveat as :func:`band_enabled`."""
+    import os
+    return os.environ.get('VIRCONV_BF16_FEATS', '0') not in ('0', 'false',
+                                                             'False')
+
+
 def band2d_enabled() -> bool:
     """Whether the NRConv image-plane 2D convs use the band kernel too.
 
@@ -785,6 +799,8 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
     pidx, pvalid, pnmap, bad_cnt, pcap = _band_patch(
         plan, lambda qk: lookup(keys, qk), first_index)
 
+    out_dtype = jnp.bfloat16 if feats_bf16_enabled() else jnp.float32
+
     def apply_fn(feats, weights, scale=None, bias=None, relu=False):
         from .pallas.band_conv import band_conv
         interp = jax.default_backend() != 'tpu'
@@ -792,16 +808,18 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
 
         def fast(f):
             out = band_conv(f, keys, plan, weights, scale=scale, bias=bias,
-                            relu=relu, bf16=bf16, interpret=interp)
+                            relu=relu, bf16=bf16, interpret=interp,
+                            out_dtype=out_dtype)
             patch = _epilogue(gathered_conv(f, pnmap, weights, pvalid),
                               pvalid, scale, bias, relu)
             return out.at[pidx].set(
-                jnp.where(pvalid[:, None], patch, out[pidx]))
+                jnp.where(pvalid[:, None], patch.astype(out_dtype),
+                          out[pidx]))
 
         def slow(f):
             nmap = build_subm_neighbor_map(st, kernel_size)
             return _epilogue(gathered_conv(f, nmap, weights, st.mask),
-                             st.mask, scale, bias, relu)
+                             st.mask, scale, bias, relu).astype(out_dtype)
 
         # keys_sorted gates the cond directly: with unsorted keys BOTH the
         # kernel and the gather patch (searchsorted lookups) are garbage,
@@ -838,23 +856,27 @@ def strided_conv_ctx(st_in: SparseTensor, st_out: SparseTensor, stride,
     pidx, pvalid, pnmap, bad_cnt, pcap = _band_patch(
         plan, lambda qk: lookup(keys, qk))
 
+    out_dtype = jnp.bfloat16 if feats_bf16_enabled() else jnp.float32
+
     def apply_fn(feats, weights, scale=None, bias=None, relu=False):
         from .pallas.band_conv import band_conv
         interp = jax.default_backend() != 'tpu'
 
         def fast(f):
             out = band_conv(f, keys, plan, weights, scale=scale, bias=bias,
-                            relu=relu, bf16=bf16, interpret=interp)
+                            relu=relu, bf16=bf16, interpret=interp,
+                            out_dtype=out_dtype)
             patch = _epilogue(gathered_conv(f, pnmap, weights, pvalid),
                               pvalid, scale, bias, relu)
             return out.at[pidx].set(
-                jnp.where(pvalid[:, None], patch, out[pidx]))
+                jnp.where(pvalid[:, None], patch.astype(out_dtype),
+                          out[pidx]))
 
         def slow(f):
             nmap = build_strided_neighbor_map(st_in, st_out, stride,
                                               padding, kernel_size)
             return _epilogue(gathered_conv(f, nmap, weights, st_out.mask),
-                             st_out.mask, scale, bias, relu)
+                             st_out.mask, scale, bias, relu).astype(out_dtype)
 
         # see subm_conv_ctx: unsorted keys invalidate the patch lookups too
         return jax.lax.cond(plan.keys_sorted & (bad_cnt <= pcap),
