@@ -33,8 +33,12 @@ import time
 
 import numpy as np
 
+import os as _os
+
 BASELINE_FPS = 11.0
-FRAMES = 1          # frames per dispatch (see Batching note above)
+# frames per dispatch (see Batching note above); VIRCONV_BENCH_FRAMES
+# overrides for batching A/Bs without editing the file
+FRAMES = int(_os.environ.get('VIRCONV_BENCH_FRAMES', '1'))
 
 
 def build_full_scale(frames=FRAMES):

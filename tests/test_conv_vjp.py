@@ -126,3 +126,53 @@ def test_gather_rows_vjp_matches_autodiff():
     np.testing.assert_allclose(np.asarray(jax.grad(loss_got)(feats)),
                                np.asarray(jax.grad(loss_ref)(feats)),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_band_train_vjp_matches_autodiff():
+    """The differentiable band conv (_band_train via subm_conv_ctx
+    train=True) must match value AND grads of the nmap oracle."""
+    rng = np.random.default_rng(7)
+    st = make_random_sparse(rng, batch_size=2, spatial=(6, 14, 12),
+                            n_valid=500, capacity=576, channels=8)
+    w = jnp.asarray((rng.standard_normal((27, 8, 8)) * 0.3)
+                    .astype(np.float32))
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    ref_out = sp.gathered_conv(st.feats, nmap, w, st.mask)
+    ref = _grads(lambda f, wt: sp.gathered_conv(f, nmap, wt, st.mask),
+                 st.feats, w)
+
+    ctx = sp.subm_conv_ctx(st, 3, use_band=True, train=True, tile=32,
+                           block=64, bf16=False)
+    assert ctx.kind == 'band_train'
+    got_out = ctx.conv(st.feats, w)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=1e-4, rtol=1e-4)
+    got = _grads(lambda f, wt: ctx.conv(f, wt), st.feats, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=1e-4, rtol=1e-4)
+    # dW accumulates per tile (different f32 summation order than the
+    # oracle's per-tap dots): allow f32 reduction noise at |dW| ~ 4e3
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=1e-3, rtol=5e-3)
+
+
+def test_band_train_vjp_with_patch_rows(monkeypatch):
+    """Grad parity when some tiles overflow the band window (patch rows
+    active): the bwd patch corrections (dfeats overwrite + dW add-back)
+    must reproduce the oracle exactly."""
+    rng = np.random.default_rng(8)
+    # long thin x extent so slab-straddling tiles appear at tiny tile/block
+    st = make_random_sparse(rng, batch_size=1, spatial=(5, 4, 40),
+                            n_valid=400, capacity=448, channels=6)
+    w = jnp.asarray((rng.standard_normal((27, 6, 6)) * 0.3)
+                    .astype(np.float32))
+    ctx = sp.subm_conv_ctx(st, 3, use_band=True, train=True, tile=16,
+                           block=32, bf16=False)
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    ref = _grads(lambda f, wt: sp.gathered_conv(f, nmap, wt, st.mask),
+                 st.feats, w)
+    got = _grads(lambda f, wt: ctx.conv(f, wt), st.feats, w)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=1e-4, rtol=1e-4)

@@ -61,56 +61,73 @@ def main():
             data = json.load(fh)
         events.extend(data.get('traceEvents', []))
 
-    # keep complete events from device lanes (TensorFlow-style trace)
+    # "XLA Ops" lane of the TPU device pid: leaf HLO ops with source-scoped
+    # names. Exclude region wrappers (conditional/while/call and the
+    # whole-program jit event) so nested events are not double-counted —
+    # ops inside cond branches appear as their own events with a
+    # .../cond/branch_i_fun/... scope.
     pid_names = {e.get('pid'): e.get('args', {}).get('name', '')
                  for e in events if e.get('ph') == 'M'
                  and e.get('name') == 'process_name'}
-    dev_pids = {p for p, n in pid_names.items()
-                if 'TPU' in n or 'tpu' in n or '/device' in n}
-    per_op = collections.Counter()
+    tid_names = {}
+    for e in events:
+        if e.get('ph') == 'M' and e.get('name') == 'thread_name':
+            tid_names[(e.get('pid'), e.get('tid'))] = \
+                e.get('args', {}).get('name', '')
+    op_lanes = {k for k, n in tid_names.items() if n == 'XLA Ops'}
+    per_op = {}
     total = 0.0
+    wrappers = 0.0
     for e in events:
         if e.get('ph') != 'X' or 'dur' not in e:
             continue
-        if dev_pids and e.get('pid') not in dev_pids:
+        if (e.get('pid'), e.get('tid')) not in op_lanes:
             continue
+        args = e.get('args') or {}
+        cat = args.get('hlo_category', '')
         name = e.get('name', '?')
-        per_op[name] += e['dur']
+        if (cat in ('conditional', 'while', 'call')
+                or name.startswith('jit_')):
+            wrappers += e['dur']
+            continue
+        a = per_op.setdefault(name, {'dur': 0.0, 'args': args})
+        a['dur'] += e['dur']
         total += e['dur']
     if not per_op:
-        print('TRACE PARSE: no complete device events found; pids='
-              f'{pid_names}')
+        print(f'TRACE PARSE: no XLA Ops events; lanes={tid_names}, '
+              f'pids={pid_names}')
         return 1
 
-    print(f'\ntotal device-event time: {total / 1e6:.3f}s '
-          f'(2 iters, {frames} frame(s))')
-    print('--- top 40 ops ---')
-    for name, dur in per_op.most_common(40):
-        print(f'{dur / 1e6:8.4f}s  {name[:110]}')
+    print(f'\nleaf-op device time: {total / 1e6:.3f}s over 2 iters '
+          f'({frames} frame(s); wrapper events excluded: '
+          f'{wrappers / 1e6:.3f}s)')
+    items = sorted(per_op.items(), key=lambda kv: -kv[1]['dur'])
+    print('--- top 30 leaf ops ---')
+    for name, a in items[:30]:
+        src = (a['args'].get('source_info', '')
+               or a['args'].get('tf_op', ''))[:95]
+        ba = int(a['args'].get('bytes_accessed', 0)) / 1e6
+        print(f"{a['dur'] / 1e6:8.4f}s {ba:9.1f}MB  {name[:24]:24s} {src}")
 
-    buckets = collections.Counter()
-    for name, dur in per_op.items():
-        low = name.lower()
-        if 'sort' in low:
-            b = 'sort'
-        elif 'scatter' in low:
-            b = 'scatter'
-        elif 'gather' in low or 'dynamic-slice' in low:
-            b = 'gather/slice'
-        elif 'conv' in low or 'dot' in low:
-            b = 'dot/conv'
-        elif 'custom-call' in low or 'tpu_custom_call' in low:
-            b = 'custom-call(pallas)'
-        elif 'fusion' in low:
-            b = 'fusion'
-        elif 'copy' in low or 'transpose' in low:
-            b = 'copy/transpose'
-        else:
-            b = 'other'
-        buckets[b] += dur
-    print('--- buckets ---')
-    for b, dur in buckets.most_common():
-        print(f'{dur / 1e6:8.4f}s  {b}')
+    scopes = collections.Counter()
+    for name, a in per_op.items():
+        src = a['args'].get('source_info', '') or a['args'].get('tf_op', '')
+        scope = 'unattributed'
+        for pat, label in (
+                ('/backbone/mm/', 'backbone/mm'),
+                ('/backbone/lidar/', 'backbone/lidar'),
+                ('/roi_head/', 'roi_head'),
+                ('/dense_head/', 'dense_head'),
+                ('/bev_backbone/', 'bev_backbone'),
+                ('_voxelize', 'voxelize'),
+                ('VoxelRCNN', 'detector-other')):
+            if pat in src:
+                scope = label
+                break
+        scopes[scope] += a['dur']
+    print('--- per-scope (leaf ops, 2 iters) ---')
+    for s, dur in scopes.most_common():
+        print(f'{dur / 1e6:8.4f}s  {s}')
     return 0
 
 

@@ -37,6 +37,10 @@ def parse_config():
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
     parser.add_argument('--no_eval', action='store_true',
                         help='skip the post-training auto-eval')
+    parser.add_argument('--log_interval', type=int, default=50,
+                        help='iterations between loss/tb logs (set low for '
+                             'small datasets so per-term reg-loss spikes '
+                             'are visible)')
     parser.add_argument('--set', dest='set_cfgs', default=None,
                         nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -143,7 +147,7 @@ def main():
         for it, (batch, _) in enumerate(loader):
             sharded = shard_batch(batch, mesh)
             state, loss, tb = train_step(state, sharded, rng)
-            if it % 50 == 0:
+            if it % args.log_interval == 0:
                 lr = float(lr_fn(int(state.step)))
                 logger.info(
                     f'epoch {epoch} it {it}/{steps_per_epoch} '

@@ -82,13 +82,15 @@ class NRConvBlock(nn.Module):
             feat_stride: voxel stride of the *output* of this block.
         """
         band = (not train) and sp.band_enabled()
+        band3d = band or (train and sp.band_enabled()
+                          and sp.band_train_enabled())
         if self.stride > 1:
             st = SparseDownBlock(self.out_channels, (3, 3, 3),
                                  (self.stride,) * 3, self.padding,
                                  out_capacity=self.out_capacity,
                                  name='down')(st, train, use_band=band)
         half = self.out_channels // 2
-        ctx3d = sp.subm_conv_ctx(st, 3, use_band=band)
+        ctx3d = sp.subm_conv_ctx(st, 3, use_band=band3d, train=train)
         d3 = SubMConvBlock(half, name='d3_conv1')(st, ctx3d, train)
         d3 = SubMConvBlock(half, name='d3_conv2')(d3, ctx3d, train)
 
@@ -167,13 +169,15 @@ class LidarStack(nn.Module):
         nf = self.num_filters
         n0 = st.capacity
         band = (not train) and sp.band_enabled()
-        ctx1 = sp.subm_conv_ctx(st, 3, use_band=band)
+        band3d = band or (train and sp.band_enabled()
+                          and sp.band_train_enabled())
+        ctx1 = sp.subm_conv_ctx(st, 3, use_band=band3d, train=train)
         x = SubMConvBlock(nf[0], name='conv_input')(st, ctx1, train)
         x1 = SubMConvBlock(nf[0], name='conv1')(x, ctx1, train)
 
         x2 = SparseDownBlock(nf[1], out_capacity=_cap(n0, self.cap_ratios[0]),
                              name='conv2_down')(x1, train, use_band=band)
-        ctx2 = sp.subm_conv_ctx(x2, 3, use_band=band)
+        ctx2 = sp.subm_conv_ctx(x2, 3, use_band=band3d, train=train)
         x2 = SubMConvBlock(nf[1], name='conv2_a')(x2, ctx2, train)
         x2 = SubMConvBlock(nf[1], name='conv2_b')(x2, ctx2, train)
 
@@ -204,14 +208,14 @@ class LidarStack(nn.Module):
 
         x3 = SparseDownBlock(nf[2], out_capacity=_cap(n0, self.cap_ratios[1]),
                              name='conv3_down')(x2, train, use_band=band)
-        ctx3 = sp.subm_conv_ctx(x3, 3, use_band=band)
+        ctx3 = sp.subm_conv_ctx(x3, 3, use_band=band3d, train=train)
         x3 = SubMConvBlock(nf[2], name='conv3_a')(x3, ctx3, train)
         x3 = SubMConvBlock(nf[2], name='conv3_b')(x3, ctx3, train)
 
         x4 = SparseDownBlock(nf[3], padding=(0, 1, 1),
                              out_capacity=_cap(n0, self.cap_ratios[2]),
                              name='conv4_down')(x3, train, use_band=band)
-        ctx4 = sp.subm_conv_ctx(x4, 3, use_band=band)
+        ctx4 = sp.subm_conv_ctx(x4, 3, use_band=band3d, train=train)
         x4 = SubMConvBlock(nf[3], name='conv4_a')(x4, ctx4, train)
         x4 = SubMConvBlock(nf[3], name='conv4_b')(x4, ctx4, train)
 

@@ -185,6 +185,119 @@ def _kernel(blk_ref, qk_ref, vb_ref, *refs, tile, block, deltas, group_of,
     out_ref[:] = (out * row_ok.astype(out.dtype)).astype(out_ref.dtype)
 
 
+def _dw_kernel(blk_ref, qk_ref, vb_ref, *refs, tile, block, deltas,
+               group_of, n_groups, bf16):
+    """Weight-gradient kernel: same per-tap one-hot gathers as _kernel,
+    then one (K*C, T) @ (T, C') matmul per tile accumulated into the
+    (K*C, C') output across the sequential grid."""
+    k = len(deltas)
+    kref = refs[:2 * n_groups]
+    fref = refs[2 * n_groups:4 * n_groups]
+    g_ref = refs[4 * n_groups]           # (T, C') cotangent rows of tile i
+    out_ref = refs[4 * n_groups + 1]     # (K*C, C') accumulator
+
+    i = pl.program_id(0)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    qk = qk_ref[0]                                           # (T, 1)
+    vb = vb_ref[0]                                           # (T, 1)
+    row_ok = (vb >> ROW_VALID_BIT) & 1
+    gathers = [None] * k
+    for g in range(n_groups):
+        dds, wfs = [], []
+        for h in (0, 1):
+            wk = kref[2 * g + h][0]                          # (1, B)
+            wfs.append(fref[2 * g + h][:].astype(dt))        # (B, C)
+            dds.append(wk - qk)                              # (T, B)
+        for t in range(k):
+            if group_of[t] != g:
+                continue
+            bit = ((vb >> t) & 1) == 1
+            acc = None
+            for h in (0, 1):
+                eq = (dds[h] == deltas[t]) & bit
+                part = jnp.dot(eq.astype(dt), wfs[h],
+                               preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+            gathers[t] = acc
+    gcat = jnp.concatenate(gathers, axis=1)                  # (T, K*C)
+    grows = g_ref[:] * row_ok.astype(g_ref.dtype)            # (T, C')
+    dw = jnp.dot(gcat.astype(dt).T, grows.astype(dt),
+                 preferred_element_type=jnp.float32)         # (K*C, C')
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+    out_ref[:] += dw
+
+
+def band_conv_dw(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
+                 g: jnp.ndarray, valid_bits=None, bf16: bool = True,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Weight gradient of a band conv: dW[k] = gather_k(feats)^T @ g.
+
+    Args:
+        feats: (N_in, C) forward input rows (sorted by ``keys``).
+        g: (N_out, C') output cotangent rows.
+        valid_bits: optional (n_tiles, T) override of ``plan.valid_bits``
+            (callers zero the rows of non-fitting tiles and add their
+            exact patch contribution outside).
+    Returns:
+        (K, C, C') float32.
+    """
+    tile, block = plan.tile, plan.block
+    n_in, c_in = feats.shape
+    k = len(plan.deltas)
+    c_out = g.shape[1]
+    n_groups = max(plan.group_of) + 1
+    pad = (-n_in) % block + block
+    feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
+    keys_p = jnp.pad(keys, (0, pad), constant_values=INVALID_KEY)
+    n_blocks = (n_in + pad) // block
+    keys2d = keys_p.reshape(n_blocks, 1, block)
+    n_tiles = plan.base_keys.shape[0]
+    g_p = jnp.pad(g, ((0, n_tiles * tile - g.shape[0]), (0, 0)))
+    vb = plan.valid_bits if valid_bits is None else valid_bits
+
+    kernel = functools.partial(
+        _dw_kernel, tile=tile, block=block, deltas=plan.deltas,
+        group_of=plan.group_of, n_groups=n_groups, bf16=bf16)
+
+    def key_spec(gi, off):
+        return pl.BlockSpec(
+            (1, 1, block),
+            lambda i, blk, gi=gi, off=off: (blk[i * n_groups + gi] + off,
+                                            0, 0))
+
+    def feat_spec(gi, off):
+        return pl.BlockSpec(
+            (block, c_in),
+            lambda i, blk, gi=gi, off=off: (blk[i * n_groups + gi] + off, 0))
+
+    kspecs = [key_spec(gi, off) for gi in range(n_groups) for off in (0, 1)]
+    fspecs = [feat_spec(gi, off) for gi in range(n_groups) for off in (0, 1)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tile, 1), lambda i, blk: (i, 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda i, blk: (i, 0, 0)),
+            *kspecs, *fspecs,
+            pl.BlockSpec((tile, c_out), lambda i, blk: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((k * c_in, c_out), lambda i, blk: (0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k * c_in, c_out), jnp.float32),
+        interpret=interpret,
+    )(plan.blk.reshape(-1), plan.base_keys[:, :, None], vb[:, :, None],
+      *([keys2d] * (2 * n_groups)),
+      *([feats_p] * (2 * n_groups)),
+      g_p)
+    return out.reshape(k, c_in, c_out)
+
+
 def band_conv(feats: jnp.ndarray, keys: jnp.ndarray, plan: BandPlan,
               weights: jnp.ndarray, scale=None, bias=None,
               relu: bool = False, bf16: bool = True,

@@ -632,6 +632,18 @@ def band_enabled() -> bool:
     return jax.default_backend() == 'tpu'
 
 
+def band_train_enabled() -> bool:
+    """Whether TRAINING 3D submanifold convs run the differentiable band
+    kernel (custom VJP, _band_train) instead of the neighbor-map gather
+    path. Replaces both the per-step 27-lookup map builds and the gather
+    convs with band kernels in forward AND backward. Off by default until
+    the wall-clock win is measured (VIRCONV_BAND_TRAIN=1); trace-time
+    capture, same caveat as :func:`band_enabled`."""
+    import os
+    return os.environ.get('VIRCONV_BAND_TRAIN', '0') not in ('0', 'false',
+                                                             'False')
+
+
 def feats_bf16_enabled() -> bool:
     """Whether band-mode eval convs emit bf16 inter-layer features.
 
@@ -709,9 +721,16 @@ BAND_PATCH_CAP = 2048
 # nmap fallback for EVERY conv layer — the 2.6x per-frame blowup first seen
 # when bench.py went to FRAMES=3. Scale the cap with rows instead.
 BAND_PATCH_FRACTION = 64   # cap >= n_out / 64 = 1.6% of rows
+# Strided plans keep more headroom: a strided output tile spans ~2x the
+# input key range of a submanifold tile, so coarse scales straddle more
+# often (round-4 device trace: at block=256 the stride-4/8 down convs hit
+# bad = 8-26% of rows, overflowed the cap, and silently took the ~40 ms
+# slow-nmap branch EVERY frame — 4 layers, ~25% of the e2e frame).
+BAND_PATCH_FRACTION_STRIDED = 16
 
 
-def _band_patch(plan, lookup_fn, first_index=None, patch_cap=None):
+def _band_patch(plan, lookup_fn, first_index=None, patch_cap=None,
+                fraction=None):
     """Gather-patch plan for rows of non-fitting band tiles.
 
     Returns (idx, valid, pnmap, cnt, cap): up to ``cap`` row indices whose
@@ -726,7 +745,8 @@ def _band_patch(plan, lookup_fn, first_index=None, patch_cap=None):
     if patch_cap is None:
         # read at call time (testable); grows with rows so multi-entry
         # batches keep the same headroom ratio as single frames
-        patch_cap = max(BAND_PATCH_CAP, n_out // BAND_PATCH_FRACTION)
+        patch_cap = max(BAND_PATCH_CAP,
+                        n_out // (fraction or BAND_PATCH_FRACTION))
     k = len(plan.deltas)
     flat_base = plan.base_keys.reshape(-1)[:n_out]
     flat_bits = plan.valid_bits.reshape(-1)[:n_out]
@@ -750,10 +770,118 @@ def _band_patch(plan, lookup_fn, first_index=None, patch_cap=None):
     return idx, valid, pnmap, cnt, cap
 
 
+# ---------------------------------------------------------------------------
+# Differentiable band conv (training). The transpose of a centered
+# submanifold conv is the SAME band geometry with tap-reversed, transposed
+# weights (offset_{K-1-k} == -offset_k, so relabeling taps k' = K-1-k gives
+# a conv with deltas[k'], group_of[k'] unchanged and W_T[k'] = W[K-1-k']^T;
+# per-tile window fits are symmetric, so plan AND gather patch are reused
+# verbatim). Only dW needs new kernel work: band_conv_dw accumulates
+# gather_k(feats)^T @ g across tiles, with rows of non-fitting tiles
+# zeroed in-kernel and added back exactly through the patch neighbor map.
+# Reference behavior target: spconv's cached-rulebook train path
+# (/root/reference/pcdet/models/backbones_3d/spconv_backbone.py:86-131) —
+# equally fast forward and backward on one precomputed structure.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _band_train(statics, feats, weights, keys, blk, base_keys, valid_bits,
+                bits_dw, pidx, pvalid, pnmap):
+    """Exact submanifold band conv (band kernel + gather patch), f32 out.
+
+    ``statics``: _BandStatics (hashable config, nondiff arg 0). Residual
+    int/bool args get float0 cotangents like gathered_conv_train.
+    """
+    out = _band_apply(feats, weights, keys, blk, base_keys, valid_bits,
+                      pidx, pvalid, pnmap, statics)
+    return out
+
+
+class _BandStatics:
+    """Hashable static config for _band_train (kept out of the pytree)."""
+
+    def __init__(self, deltas, group_of, n_out, tile, block, bf16):
+        self.deltas = deltas
+        self.group_of = group_of
+        self.n_out = n_out
+        self.tile = tile
+        self.block = block
+        self.bf16 = bf16
+        self._key = (deltas, group_of, n_out, tile, block, bf16)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _BandStatics) and self._key == other._key
+
+
+def _plan_of(statics: "_BandStatics", keys, blk, base_keys, valid_bits):
+    from .pallas.band_conv import BandPlan
+    true_ = jnp.asarray(True)
+    return BandPlan(base_keys, valid_bits, blk, true_,
+                    jnp.ones((base_keys.shape[0],), bool), true_,
+                    statics.deltas, statics.group_of, statics.n_out,
+                    statics.tile, statics.block)
+
+
+def _band_apply(feats, weights, keys, blk, base_keys, valid_bits,
+                pidx, pvalid, pnmap, statics):
+    from .pallas.band_conv import band_conv
+    plan = _plan_of(statics, keys, blk, base_keys, valid_bits)
+    interp = jax.default_backend() != 'tpu'
+    out = band_conv(feats, keys, plan, weights, bf16=statics.bf16,
+                    interpret=interp)
+    patch = gathered_conv(feats, pnmap, weights, pvalid)
+    return out.at[pidx].set(jnp.where(pvalid[:, None], patch, out[pidx]))
+
+
+def _band_train_fwd(statics, feats, weights, keys, blk, base_keys,
+                    valid_bits, bits_dw, pidx, pvalid, pnmap):
+    out = _band_train(statics, feats, weights, keys, blk, base_keys,
+                      valid_bits, bits_dw, pidx, pvalid, pnmap)
+    return out, (feats, weights, keys, blk, base_keys, valid_bits, bits_dw,
+                 pidx, pvalid, pnmap)
+
+
+def _band_train_bwd(statics, res, g):
+    (feats, weights, keys, blk, base_keys, valid_bits, bits_dw, pidx,
+     pvalid, pnmap) = res
+    from .pallas.band_conv import ROW_VALID_BIT, band_conv_dw
+    k = weights.shape[0]
+    # dfeats: the transpose conv == same geometry, tap-reversed transposed
+    # weights — the full forward apply (band kernel + patch) runs verbatim
+    wt = jnp.swapaxes(weights[::-1], 1, 2)
+    dfeats = _band_apply(g, wt, keys, blk, base_keys, valid_bits,
+                         pidx, pvalid, pnmap, statics)
+    dfeats = dfeats.astype(feats.dtype)
+    # dW: in-kernel accumulation over fitting tiles (+ exact patch rows)
+    plan = _plan_of(statics, keys, blk, base_keys, valid_bits)
+    interp = jax.default_backend() != 'tpu'
+    dw = band_conv_dw(feats, keys, plan, g, valid_bits=bits_dw,
+                      bf16=statics.bf16, interpret=interp)
+    g_patch = g[pidx] * pvalid[:, None].astype(g.dtype)      # (cap, C')
+    dw_p = []
+    for j in range(k):
+        idx = pnmap[:, j]
+        safe = jnp.maximum(idx, 0)
+        rows = feats[safe] * ((idx >= 0) & pvalid)[:, None].astype(
+            feats.dtype)
+        dw_p.append(jnp.dot(rows.T, g_patch,
+                            preferred_element_type=jnp.float32))
+    dw = (dw + jnp.stack(dw_p)).astype(weights.dtype)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (dfeats, dw, f0(keys), f0(blk), f0(base_keys), f0(valid_bits),
+            f0(bits_dw), f0(pidx), f0(pvalid), f0(pnmap))
+
+
+_band_train.defvjp(_band_train_fwd, _band_train_bwd)
+
+
 def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
                   tile: int = 128, block: int = 256,
                   first_wins_sources: bool = False,
-                  bf16: bool = True) -> ConvCtx:
+                  bf16: bool = True, train: bool = False) -> ConvCtx:
     """Conv context for a submanifold conv on ``st`` (sorted by key).
 
     ``first_wins_sources``: for key sets with duplicates (the NRConv 2D
@@ -779,6 +907,39 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
                            gathered_conv_train(f, nmap, tmap, w, st.mask,
                                                st.mask),
                            st.mask, s, b, r))
+
+    if train:
+        # differentiable band path: custom VJP over the band kernel + patch
+        # (see _band_train). 2D duplicate-key tensors stay on nmap — the
+        # patch's first-wins representative remap has no transpose analog.
+        assert not first_wins_sources, \
+            'band train path does not support duplicate-key sources'
+        plan, keys = subm_band_plan(st, kernel_size, tile, block)
+        pidx, pvalid, pnmap, bad_cnt, pcap = _band_patch(
+            plan, lambda qk: lookup(keys, qk))
+        statics = _BandStatics(plan.deltas, plan.group_of, plan.n_out,
+                               tile, block, bf16)
+        # dW kernel: zero the rows of non-fitting tiles (their exact
+        # contribution comes from the patch term in _band_train_bwd)
+        bits_dw = jnp.where(plan.fits[:, None], plan.valid_bits, 0)
+
+        def apply_train(feats, weights, scale=None, bias=None, relu=False):
+            def fast(f):
+                out = _band_train(statics, f, weights, keys, plan.blk,
+                                  plan.base_keys, plan.valid_bits, bits_dw,
+                                  pidx, pvalid, pnmap)
+                return _epilogue(out, st.mask, scale, bias, relu)
+
+            def slow(f):
+                nmap = build_subm_neighbor_map(st, kernel_size)
+                return _epilogue(
+                    gathered_conv_train(f, nmap, nmap[:, ::-1], weights,
+                                        st.mask, st.mask),
+                    st.mask, scale, bias, relu)
+
+            return jax.lax.cond(plan.keys_sorted & (bad_cnt <= pcap),
+                                fast, slow, feats)
+        return ConvCtx('band_train', k, apply_train)
 
     plan, keys = subm_band_plan(st, kernel_size, tile, block)
     first_index = None
@@ -831,9 +992,15 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
 
 def strided_conv_ctx(st_in: SparseTensor, st_out: SparseTensor, stride,
                      padding, kernel_size, use_band: bool,
-                     tile: int = 128, block: int = 256,
+                     tile: int = 128, block: int = 512,
                      bf16: bool = True) -> ConvCtx:
-    """Conv context for a strided conv st_in -> st_out (both sorted)."""
+    """Conv context for a strided conv st_in -> st_out (both sorted).
+
+    block defaults to 512 (vs 256 for submanifold): an output tile's taps
+    span roughly stride x the input key range, and the measured bad-row
+    counts at KITTI eval shapes drop 5632 -> 256 (stride 4) and
+    11008 -> 640 (stride 8) going 256 -> 512 — the difference between the
+    band fast path and a ~40 ms/layer slow-nmap fallback."""
     ndim = st_in.ndim
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size,) * ndim
@@ -854,7 +1021,8 @@ def strided_conv_ctx(st_in: SparseTensor, st_out: SparseTensor, stride,
     plan, keys = strided_band_plan(st_in, st_out, stride, padding,
                                    kernel_size, tile, block)
     pidx, pvalid, pnmap, bad_cnt, pcap = _band_patch(
-        plan, lambda qk: lookup(keys, qk))
+        plan, lambda qk: lookup(keys, qk),
+        fraction=BAND_PATCH_FRACTION_STRIDED)
 
     out_dtype = jnp.bfloat16 if feats_bf16_enabled() else jnp.float32
 
