@@ -151,16 +151,25 @@ def _window_offsets(ranges: Sequence[int], radius=None, voxel_size=None,
 
 
 def _select_first_idx(ok, nsample):
-    """Window-scan indices of the first ``nsample`` valid candidates,
-    scatter-free: key = K - j for valid scan index j (monotone decreasing),
-    -1 - j otherwise; top_k's descending keys == the first valid hits in
-    order. ((m, K) scatters measured ~1 s/stage on the chip; top_k is a
-    few passes.)  Returns (topidx (m, ns) int32, hit (m, ns) bool)."""
+    """Window-scan indices of the first ``nsample`` valid candidates.
+
+    Rank-equality formulation: rank = inclusive cumsum of ok along the
+    window; the slot-s selection is the unique scan index with
+    ``ok & rank == s+1``, extracted by a compare-select reduction that XLA
+    fuses without materializing (m, ns, K). Replaces the earlier
+    ``lax.top_k`` keying (sorts all K keys per query; measured 30 ms/frame
+    across the eval pools at K ~ 500 — the round-4 trace's second-largest
+    ROI cost) and the original (m, K) scatters (~1 s/stage, DESIGN.md S8).
+    Returns (topidx (m, ns) int32, hit (m, ns) bool)."""
     k = ok.shape[1]
     j = jnp.arange(k, dtype=jnp.int32)
-    key = jnp.where(ok, k - j, -1 - j)
-    topkey, topidx = jax.lax.top_k(key, nsample)              # (m, nsample)
-    return topidx, topkey > 0
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=1)           # (m, K)
+    slots = jnp.arange(1, nsample + 1, dtype=jnp.int32)
+    eq = ok[:, None, :] & (rank[:, None, :] == slots[None, :, None])
+    topidx = jnp.sum(jnp.where(eq, j[None, None, :], 0), axis=2,
+                     dtype=jnp.int32)                         # (m, ns)
+    hit = slots[None, :] <= rank[:, -1:]
+    return topidx, hit
 
 
 def _select_first(ok, safe_rows, centers, nsample):
