@@ -12,14 +12,13 @@ batch k overlaps the device compute of batch k+1, exactly as the serving
 loop would pipeline it; the device stream is synced before timestamps.
 
 Batching: FRAMES=1 (3 batch entries with the ROT_NUM=3 replicas). Measured
-on v5e: B=1 416 ms/frame vs B=3 583 ms/frame — per-frame cost RISES with
-batch even after fixing three superlinear cliffs (docs/DESIGN.md §13:
-SMEM prefetch layout, patch-cap overflow, dense-lookup budget; the lowered
-program now scales linearly in elements). The residual ~170 ms/frame of
-superlinear wall-clock at 9 entries is unattributed (the stage profiler's
-prefix compiles OOM the remote compile helper at these shapes), so the
-bench runs the measured-best dispatch size. The int32 key space bounds
-batch*replicas at 9 entries either way (see ops/sparse.py).
+on v5e round 4 (after the strided band-conv slow-path fix, docs/DESIGN.md
+§14): B=1 318 ms/frame vs B=3 354 ms/frame — the round-3 gap (416 vs 583)
+was mostly the strided patch-cap overflow tripping a per-layer nmap
+fallback whose dense tables grew superlinearly past the lookup budget at
+9 entries. The remaining ~36 ms/frame at B=3 (n log n sorts, 3x dense
+tables) keeps FRAMES=1 the measured-best dispatch size. The int32 key
+space bounds batch*replicas at 9 entries either way (see ops/sparse.py).
 
 Baseline note: the reference publishes no throughput (SURVEY.md §6); the
 VirConv paper reports ~92 ms/frame for VirConv-T on an RTX 3090-class GPU
