@@ -70,7 +70,14 @@ def build_optimizer(params, opt_cfg, total_steps):
         opt = optax.inject_hyperparams(optax.adamw, static_args=('mask',))(
             learning_rate=lr_fn, b1=mom_fn, weight_decay=wd,
             mask=_decay_mask(params) if wd > 0 else None)
-        return optax.chain(clip, opt), lr_fn
+        # Skip (zero) any update whose grads are non-finite instead of
+        # writing NaN into the params: optax clip_by_global_norm propagates
+        # a NaN norm into every weight, so ONE bad step destroys the run
+        # (round-4 campaign post-mortem, docs/DESIGN.md §14). torch's
+        # clip_grad_norm_ scales by max_norm/inf ~= 0 in the same case, so
+        # the reference effectively skips too — this matches it, and gives
+        # up only after 10000 consecutive bad steps.
+        return optax.apply_if_finite(optax.chain(clip, opt), 10000), lr_fn
     if name == 'adam':
         steps_per_epoch = max(total_steps // max(opt_cfg.NUM_EPOCHS, 1), 1)
         bounds = {int(e) * steps_per_epoch: opt_cfg.LR_DECAY

@@ -60,6 +60,10 @@ def make_train_step(model, tx):
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if hasattr(opt_state, 'total_notfinite'):
+            # apply_if_finite wrapper (adam_onecycle): count of skipped
+            # non-finite-grad steps — spike/divergence observability
+            tb = {**tb, 'nonfinite_skips': opt_state.total_notfinite}
         new_state = state.replace(
             params=params, batch_stats=mut.get('batch_stats',
                                                state.batch_stats),
