@@ -88,9 +88,17 @@ def build_mini_kitti(root, n_frames=4, seed=0, n_train=None):
         for b in boxes_lidar:
             m = 200
             c = np.zeros((m, 8), np.float32)
-            c[:, 0] = b[0] + rng.uniform(-1.5, 1.5, m)
-            c[:, 1] = b[1] + rng.uniform(-0.7, 0.7, m)
-            c[:, 2] = b[2] + rng.uniform(-0.7, 0.7, m)
+            # sample in the box's LOCAL frame (elongated along length) and
+            # rotate by the gt heading — an axis-aligned blob would carry
+            # ZERO heading information, making heading regression (and any
+            # IoU-based AP) unlearnable by construction (round-4 campaign
+            # post-mortem: centers/dims converged, headings stayed noise)
+            lx = rng.uniform(-0.48, 0.48, m) * b[3]
+            ly = rng.uniform(-0.48, 0.48, m) * b[4]
+            ca, sa = np.cos(b[6]), np.sin(b[6])
+            c[:, 0] = b[0] + lx * ca - ly * sa
+            c[:, 1] = b[1] + lx * sa + ly * ca
+            c[:, 2] = b[2] + rng.uniform(-0.45, 0.45, m) * b[5]
             c[:, 3] = rng.uniform(0, 10, m)
             c[:, 7] = rng.integers(1, 3, m)
             clusters.append(c)

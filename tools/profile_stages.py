@@ -3,6 +3,13 @@ detector (voxelize / backbone / bev / rpn / full). Each prefix returns a
 scalar probe so XLA dead-code-eliminates downstream stages; differences
 between consecutive prefixes are per-stage costs.
 
+NOTE: ``tools/profile_trace.py`` (round 4) supersedes this for most uses —
+one cached compile of the FULL model yields per-op device durations with
+source-scoped names via ``jax.profiler.trace``, where each prefix here
+costs its own 10-40 min compile. Keep this tool for cases where wall-clock
+prefix timing is the question (e.g. validating that trace-derived sums
+match dispatch reality).
+
 Run from the repo root on the TPU (one process at a time on the tunnel):
     nohup python -u tools/profile_stages.py > /tmp/stages.log 2>&1 &
 """
