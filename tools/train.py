@@ -124,7 +124,13 @@ def main():
     resume = args.ckpt or latest_checkpoint(ckpt_dir)
     if resume is not None:
         logger.info(f'Resuming from {resume}')
-        ckpt = load_checkpoint(resume)
+        # typed template: optax NamedTuple states must be rebuilt from
+        # orbax's dict serialization (see load_checkpoint docstring)
+        template = {'params': jax.device_get(state.params),
+                    'batch_stats': jax.device_get(state.batch_stats),
+                    'opt_state': jax.device_get(state.opt_state),
+                    'step': 0, 'epoch': 0}
+        ckpt = load_checkpoint(resume, template=template)
         state = TrainState(params=ckpt['params'],
                            batch_stats=ckpt['batch_stats'],
                            opt_state=ckpt['opt_state'],

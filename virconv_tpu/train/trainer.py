@@ -101,10 +101,35 @@ def save_checkpoint(ckpt_dir, state: TrainState, epoch: int,
     return path
 
 
-def load_checkpoint(path):
+def load_checkpoint(path, template=None):
+    """Restore a checkpoint.
+
+    ``template``: optional pytree of the same structure whose container
+    TYPES are authoritative — orbax serializes NamedTuples (optax states
+    like ApplyIfFiniteState / ScaleByAdamState) as plain dicts, and a
+    typeless restore breaks ``state.inner_state``-style attribute access
+    on resume. Field-name keyed dicts are re-wrapped into the template's
+    containers (never positionally: dict key order is sorted, NamedTuple
+    field order is not)."""
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(Path(path).resolve())
+    restored = ckptr.restore(Path(path).resolve())
+    if template is None:
+        return restored
+
+    def rebuild(tmpl, got):
+        if hasattr(tmpl, '_fields'):          # NamedTuple: rebuild by name
+            vals = {f: rebuild(getattr(tmpl, f), got[f])
+                    for f in tmpl._fields}
+            return type(tmpl)(**vals)
+        if isinstance(tmpl, (tuple, list)):
+            items = (got[str(i)] if isinstance(got, dict) else got[i]
+                     for i in range(len(tmpl)))
+            return type(tmpl)(rebuild(t, g) for t, g in zip(tmpl, items))
+        if isinstance(tmpl, dict):
+            return {k: rebuild(v, got[k]) for k, v in tmpl.items()}
+        return got
+    return rebuild(template, restored)
 
 
 def latest_checkpoint(ckpt_dir):
