@@ -206,6 +206,13 @@ def main():
     out = forward(eval_vars, batch)
     n_dets = sum(len(p['score']) for p in host_tail(out))
     print(f'[bench] warm, {n_dets} detections/batch', file=sys.stderr)
+    # second warm round: the first timed dispatch after a cold compile
+    # intermittently absorbs a multi-second tunnel stall (seen as a
+    # 12 s "model-only frame" while e2e stays at ~330 ms); flush it
+    # outside the timed loops
+    for _ in range(2):
+        out = forward(eval_vars, batch)
+    float(out['batch_box_preds'].sum())
 
     iters = 6
 
