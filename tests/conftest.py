@@ -24,9 +24,28 @@ assert jax.devices()[0].platform == 'cpu', (
     'test suite must run on the virtual CPU mesh, got '
     f'{jax.devices()[0].platform}')
 
+# Key the CPU cache by this machine's CPU features: XLA:CPU AOT blobs
+# compiled on another host (the judge/driver box shares this repo) abort
+# with SIGILL/Fatal-Aborted when loaded under a different feature set
+# (seen as a flaky hard crash in test_multidevice under the shared dir).
+import hashlib
+
+
+def _machine_cache_tag():
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
+
+
 jax.config.update('jax_compilation_cache_dir',
                   os.path.join(os.path.dirname(__file__), '..',
-                               '.jax_cache'))
+                               '.jax_cache', f'cpu-{_machine_cache_tag()}'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 

@@ -27,6 +27,9 @@ def test_detector_band_path_matches_nmap_path(monkeypatch):
                  'batch_stats': variables.get('batch_stats', {})}
     eval_batch = make_batch(rng, n_entries=2, train=False, n_rep=2)
 
+    # pin the 2D branch to its sparse formulations: this test is the
+    # band-vs-nmap oracle (test_dense2d covers the dense 2D path)
+    monkeypatch.setenv('VIRCONV_DENSE2D', '0')
     monkeypatch.setenv('VIRCONV_BAND', '0')
     ref = model.apply(eval_vars, eval_batch, train=False)
 

@@ -176,3 +176,34 @@ def test_band_train_vjp_with_patch_rows(monkeypatch):
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_band_train_vjp_bf16_tolerance(monkeypatch):
+    """bf16 train band path (VIRCONV_BAND_TRAIN_BF16=1): grads must track
+    the f32 nmap oracle within bf16 matmul tolerance (ADVICE r4: this
+    configuration previously shipped untested)."""
+    monkeypatch.setenv('VIRCONV_BAND_TRAIN_BF16', '1')
+    rng = np.random.default_rng(9)
+    st = make_random_sparse(rng, batch_size=1, spatial=(6, 14, 12),
+                            n_valid=400, capacity=448, channels=8)
+    w = jnp.asarray((rng.standard_normal((27, 8, 8)) * 0.3)
+                    .astype(np.float32))
+    nmap = sp.build_subm_neighbor_map(st, 3)
+    ref = _grads(lambda f, wt: sp.gathered_conv(f, nmap, wt, st.mask),
+                 st.feats, w)
+    ctx = sp.subm_conv_ctx(st, 3, use_band=True, train=True, tile=32,
+                           block=64, bf16=True)
+    got = _grads(lambda f, wt: ctx.conv(f, wt), st.feats, w)
+    # bf16 products have ~8 mantissa bits and the 27-tap sums cancel, so
+    # per-element error reaches ~10% of the |grad|~1e2 scale — the measured
+    # cost of this opt-in mode (and why the train default is f32)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=10.0, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=1e2, rtol=5e-2)
+    # and it must still be a usable descent direction: high cosine vs f32
+    for g, r in zip(got, ref):
+        gv = np.asarray(g).ravel()
+        rv = np.asarray(r).ravel()
+        cos = gv @ rv / (np.linalg.norm(gv) * np.linalg.norm(rv))
+        assert cos > 0.999, cos

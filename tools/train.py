@@ -154,7 +154,11 @@ def main():
             sharded = shard_batch(batch, mesh)
             state, loss, tb = train_step(state, sharded, rng)
             if it % args.log_interval == 0:
-                lr = float(lr_fn(int(state.step)))
+                # apply_if_finite freezes the inner schedule count on
+                # skipped steps, so the APPLIED LR lags state.step by the
+                # skip count (ADVICE r4) — log what was actually applied
+                skips = int(tb.get('nonfinite_skips', 0))
+                lr = float(lr_fn(max(int(state.step) - skips, 0)))
                 logger.info(
                     f'epoch {epoch} it {it}/{steps_per_epoch} '
                     f'loss {float(loss):.4f} lr {lr:.6f}')

@@ -33,8 +33,8 @@ from ...ops import dense3d as d3d
 from ...ops import sparse as sp
 from ...utils import transforms as tr
 from ...utils.calibration import project_lidar_to_img_jax
-from ..layers import (DenseDown3DBlock, DenseSubM3DBlock, MaskedBatchNorm,
-                      SparseDownBlock, SubMConvBlock)
+from ..layers import (Dense2DSubMBlock, DenseDown3DBlock, DenseSubM3DBlock,
+                      MaskedBatchNorm, SparseDownBlock, SubMConvBlock)
 
 IMG_GRID = (1600, 600)   # 2D sparse grid of the image plane (u, v)
 
@@ -113,6 +113,45 @@ class NRConvBlock(nn.Module):
         v = jnp.clip(uv[:, 1].astype(jnp.int32), 0, 600 - 1) // feat_stride
         coords2d = jnp.stack([d3.coords[:, 0], u, v], axis=-1)
         coords2d = jnp.where(d3.mask[:, None], coords2d, -1)
+
+        if (not train) and sp.dense2d_enabled():
+            # Dense MXU path: the image grid is small (<=1400x600 at
+            # stride 1), so scatter -> two dense NCHW convs -> gather back
+            # replaces sorts, per-tap gathers and plan builds outright.
+            # Duplicate pixels (several voxels on one pixel) keep
+            # first-wins semantics via a deterministic scatter-min
+            # representative, matching the band path's in-kernel gather.
+            u_dim = -(-1400 // feat_stride)
+            v_dim = -(-600 // feat_stride)
+            uv = u_dim * v_dim
+            cells = st.batch_size * uv
+            n = d3.capacity
+            bidx = jnp.clip(d3.coords[:, 0], 0)
+            flat_e = u * v_dim + v                         # per-entry cell
+            flat_e = jnp.where(d3.mask, flat_e, uv)        # overflow slot
+            flat = bidx * uv + jnp.minimum(flat_e, uv - 1)
+            rid = jnp.arange(n, dtype=jnp.int32)
+            rep = jnp.full((cells + 1,), n, jnp.int32).at[
+                jnp.where(d3.mask, flat, cells)].min(rid)
+            is_rep = rep[flat] == rid
+            src = jnp.where((d3.mask & is_rep)[:, None],
+                            d3.feats.astype(jnp.float32), 0.0)
+            # scatter straight into the NCHW conv layout (channels on the
+            # sublane axis — a (cells, C) row buffer would lane-pad
+            # C=8..32 to 128, 16x HBM)
+            grid = jnp.zeros((st.batch_size, half, uv + 1), jnp.float32)
+            grid = grid.at[bidx, :, flat_e].add(src)
+            grid = grid[:, :, :uv].reshape(st.batch_size, half, u_dim, v_dim)
+            occ = (rep[:cells] < n).astype(jnp.float32).reshape(
+                st.batch_size, 1, u_dim, v_dim)
+            g1 = Dense2DSubMBlock(half, name='d2_conv1')(grid, occ, train)
+            g2 = Dense2DSubMBlock(half, name='d2_conv2')(g1, occ, train)
+            flat_feats = g2.reshape(st.batch_size, half, uv)
+            d2_feats = flat_feats[bidx, :, jnp.minimum(flat_e, uv - 1)]
+            d2_feats = jnp.where(d3.mask[:, None], d2_feats,
+                                 0.0).astype(d3.feats.dtype)
+            return d3.replace(
+                feats=jnp.concatenate([d3.feats, d2_feats], -1))
 
         st2d = sp.SparseTensor(feats=d3.feats, coords=coords2d, mask=d3.mask,
                                spatial_shape=IMG_GRID,

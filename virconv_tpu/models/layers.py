@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -135,6 +136,50 @@ class SparseDownBlock(nn.Module):
         feats = MaskedBatchNorm(self.out_channels)(feats, st_out.mask, train)
         feats = nn.relu(feats)
         return st_out.replace(feats=feats)
+
+
+class Dense2DSubMBlock(nn.Module):
+    """Submanifold 2D conv as a dense MXU conv over the (small) image-plane
+    grid: conv + folded-BN affine + occupancy re-mask + ReLU.
+
+    Param tree matches SubMConvBlock ('kernel' in gathered (K, C, C')
+    layout + MaskedBatchNorm_0), so checkpoints interchange with the
+    sparse 2D path. Grid layout is NCHW — channels ride the sublane axis;
+    channels-minor would pad C=8..32 to 128 lanes (16x HBM). Equivalent to
+    the sparse conv because off-mask cells hold zero features (zero
+    contribution == missing neighbor) and outputs are re-masked.
+    Eval only (the train path stays on the row-space nmap conv: its BN
+    moments count duplicate-pixel rows per row, not per cell).
+
+    Reference: NRConv 2D branch ``/root/reference/pcdet/models/
+    backbones_3d/spconv_backbone.py:207-229``.
+    """
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, grid, occ, train: bool):
+        """grid (B, C, U, V); occ (B, 1, U, V) float occupancy."""
+        assert not train, 'dense 2D path is eval-only'
+        b, c_in, u_dim, v_dim = grid.shape
+        w = self.param('kernel',
+                       nn.initializers.variance_scaling(
+                           1.0, 'fan_in', 'normal'),
+                       (9, c_in, self.out_channels))
+        mult, bias = MaskedBatchNorm(self.out_channels)(
+            jnp.zeros((1, self.out_channels)), jnp.zeros((1,), bool),
+            train, fold=True)
+        # gathered tap order (du-major, dv-minor, offsets -1..1) == HWIO
+        # spatial order of a centered 3x3 kernel
+        kernel = w.reshape(3, 3, c_in, self.out_channels)
+        out = jax.lax.conv_general_dilated(
+            grid, kernel, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=('NCHW', 'HWIO', 'NCHW'),
+            preferred_element_type=jnp.float32)
+        out = out * mult[None, :, None, None] + bias[None, :, None, None]
+        out = jnp.maximum(out, 0.0) * occ
+        return out
 
 
 class DenseConvBlock(nn.Module):

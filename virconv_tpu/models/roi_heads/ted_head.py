@@ -234,7 +234,8 @@ class TEDMHead(nn.Module):
             pooled = pool_modules[src](
                 st, stride, grid_xyz.reshape(-1, 3), qc,
                 qmask.reshape(-1), train,
-                table=None if tables is None else tables[src])  # (B*N*g^3, C)
+                table=None if tables is None else tables[src],
+                q_per_roi=g ** 3)                         # (B*N*g^3, C)
             outs.append(pooled)
         pooled = jnp.concatenate(outs, -1)
         return pooled.reshape(b * n, -1), qmask.reshape(b * n, g ** 3)[:, 0]
@@ -293,12 +294,18 @@ class TEDMHead(nn.Module):
         # voxel-key -> row tables, hoisted: the pooled key sets don't change
         # across cascade stages, so build each stream/scale table once per
         # frame instead of 3x (stage loop) — these are dense scatters, the
-        # slowest primitive class on TPU (docs/DESIGN.md S8).
+        # slowest primitive class on TPU (docs/DESIGN.md S8). With the ROI
+        # pooling kernel active they are only the lax.cond fallback's input
+        # and are built lazily inside that branch instead.
+        from .voxel_pool import pool_kernel_enabled
         head_cfg = CfgNode(self.model_cfg)
-        tables_lidar = {src: build_pool_tables(feats_lidar[src])
-                        for src in head_cfg.ROI_GRID_POOL.FEATURES_SOURCE}
-        tables_mm = {src: build_pool_tables(feats_mm[src])
-                     for src in head_cfg.ROI_GRID_POOL_MM.FEATURES_SOURCE}
+        if (not train) and pool_kernel_enabled():
+            tables_lidar = tables_mm = None
+        else:
+            tables_lidar = {src: build_pool_tables(feats_lidar[src])
+                            for src in head_cfg.ROI_GRID_POOL.FEATURES_SOURCE}
+            tables_mm = {src: build_pool_tables(feats_mm[src])
+                         for src in head_cfg.ROI_GRID_POOL_MM.FEATURES_SOURCE}
 
         all_preds, all_scores = [], []
         stage_targets = []

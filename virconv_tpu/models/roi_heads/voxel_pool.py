@@ -367,6 +367,26 @@ def voxel_query(st: sp.SparseTensor, table, query_xyz, query_coords,
         point_cloud_range)[0]
 
 
+def pool_kernel_enabled() -> bool:
+    """Whether eval grid pooling runs the ROI-local Pallas kernel
+    (ops/pallas/roi_pool.py) instead of the per-query probe path.
+    Defaults to TPU-only; VIRCONV_POOL_KERNEL=0/1 overrides. Trace-time
+    capture (same caveat as sparse.band_enabled)."""
+    import os
+    env = os.environ.get('VIRCONV_POOL_KERNEL')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    return jax.default_backend() == 'tpu'
+
+
+def pool_bf16_enabled() -> bool:
+    """bf16 feature matmuls inside the ROI pooling kernel (default on, like
+    the band convs; VIRCONV_POOL_BF16=0 forces f32)."""
+    import os
+    return os.environ.get('VIRCONV_POOL_BF16', '1') not in ('0', 'false',
+                                                            'False')
+
+
 class NeighborVoxelSAModule(nn.Module):
     """Multi-scale-group voxel SA module (NeighborVoxelSAModuleMSG)."""
 
@@ -379,27 +399,94 @@ class NeighborVoxelSAModule(nn.Module):
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, stride, query_xyz, query_coords,
-                 query_mask, train: bool, table=None):
-        if table is None:
-            table = build_pool_tables(st)
+                 query_mask, train: bool, table=None, q_per_roi=None):
         specs = tuple((tuple(self.query_ranges[g]), self.radii[g],
                        self.nsamples[g])
                       for g in range(len(self.query_ranges)))
-        queries = voxel_query_groups(
-            st, table, query_xyz, query_coords, query_mask, specs,
-            self.voxel_size, stride, self.point_cloud_range,
-            chunk_budget=None if train else CHUNK_BUDGET_EVAL)
-        outs = []
-        for g in range(len(self.query_ranges)):
-            mid, out_c = self.mlps[g]
+        n_g = len(specs)
+        use_kernel = ((not train) and q_per_roi is not None
+                      and pool_kernel_enabled()
+                      and len({m[0] for m in self.mlps}) == 1)
+        if not use_kernel:
+            if table is None:
+                table = build_pool_tables(st)
+            queries = voxel_query_groups(
+                st, table, query_xyz, query_coords, query_mask, specs,
+                self.voxel_size, stride, self.point_cloud_range,
+                chunk_budget=None if train else CHUNK_BUDGET_EVAL)
+            outs = []
+            for g in range(n_g):
+                mid, out_c = self.mlps[g]
+                feats = nn.Dense(mid, use_bias=False,
+                                 name=f'mlp_in{g}')(st.feats)
+                feats = MaskedBatchNorm(mid, name=f'mlp_in_bn{g}')(
+                    feats, st.mask, train)
+                idx, valid, centers = queries[g]
+                x = self._group_body(feats, idx, valid, centers, query_xyz,
+                                     query_mask, g, mid, train)
+                x = nn.Dense(out_c, use_bias=False, name=f'mlp_out{g}')(x)
+                x = MaskedBatchNorm(out_c, name=f'mlp_out_bn{g}')(
+                    x, query_mask, train)
+                outs.append(nn.relu(x))
+            return jnp.concatenate(outs, axis=-1)
+
+        # ---- eval fast path: ROI-local Pallas pooling -------------------
+        # (ops/pallas/roi_pool.py; exact — lax.cond falls back to the
+        # probe path when the plan's capacity caps overflow)
+        from ...ops.pallas.roi_pool import roi_pool_plan, roi_pool_apply
+        mid = self.mlps[0][0]
+        feats_g, w_pos_g, affines = [], [], []
+        for g in range(n_g):
             feats = nn.Dense(mid, use_bias=False,
                              name=f'mlp_in{g}')(st.feats)
-            feats = MaskedBatchNorm(mid, name=f'mlp_in_bn{g}')(
-                feats, st.mask, train)
-            idx, valid, centers = queries[g]
-            x = self._group_body(feats, idx, valid, centers, query_xyz,
-                                 query_mask, g, mid, train)
-            x = nn.Dense(out_c, use_bias=False, name=f'mlp_out{g}')(x)
+            feats_g.append(MaskedBatchNorm(mid, name=f'mlp_in_bn{g}')(
+                feats, st.mask, train))
+            w_pos_g.append(_PosKernel(mid, name=f'mlp_pos{g}')())
+            # eval _MomentBN ignores the moment args (running stats)
+            affines.append(_MomentBN(mid, name=f'mlp_pos_bn{g}')(
+                jnp.zeros((mid,)), jnp.ones((mid,)), 1.0, False))
+        plan = roi_pool_plan(st, query_xyz, query_coords, query_mask,
+                             q_per_roi, tuple(self.query_ranges[-1]),
+                             self.voxel_size, stride,
+                             self.point_cloud_range)
+        interp = jax.default_backend() != 'tpu'
+        bf16 = pool_bf16_enabled() and not interp
+
+        def fast(fg):
+            w_eff = [w_pos_g[g] * affines[g][0][None, :]
+                     for g in range(n_g)]
+            b_eff = [affines[g][1] for g in range(n_g)]
+            return roi_pool_apply(plan, fg, w_eff, b_eff, specs,
+                                  self.voxel_size, stride,
+                                  self.point_cloud_range, bf16=bf16,
+                                  interpret=interp)
+
+        def slow(fg):
+            tbl = table if table is not None else build_pool_tables(st)
+            queries = voxel_query_groups(
+                st, tbl, query_xyz, query_coords, query_mask, specs,
+                self.voxel_size, stride, self.point_cloud_range,
+                chunk_budget=CHUNK_BUDGET_EVAL)
+            outs = []
+            for g in range(n_g):
+                idx, valid, centers = queries[g]
+                mult, bias = affines[g]
+                grouped = fg[g][idx] * valid[..., None].astype(fg[g].dtype)
+                qm_rows = query_mask[:, None] & jnp.ones_like(valid)
+                rel = (centers - query_xyz[:, None, :]) * valid[..., None]
+                pos = rel @ w_pos_g[g] * mult + bias
+                pos = jnp.where(qm_rows[..., None], pos, 0.0)
+                x = nn.relu(grouped + pos)
+                x = jnp.where(valid[..., None], x, 0.0)
+                outs.append(x.max(axis=1))
+            return jnp.stack(outs)
+
+        pooled = jax.lax.cond(plan.ok, fast, slow, feats_g)   # (G, M, mid)
+        outs = []
+        for g in range(n_g):
+            out_c = self.mlps[g][1]
+            x = nn.Dense(out_c, use_bias=False,
+                         name=f'mlp_out{g}')(pooled[g])
             x = MaskedBatchNorm(out_c, name=f'mlp_out_bn{g}')(
                 x, query_mask, train)
             outs.append(nn.relu(x))

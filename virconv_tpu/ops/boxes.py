@@ -353,11 +353,13 @@ class ResidualCoder:
         # clamp the log-dim residuals: a transiently wild reg output
         # (high-LR training) otherwise overflows exp -> inf boxes -> NaN
         # loss grads that poison the params (seen in the round-4 mini-KITTI
-        # campaign at the OneCycle peak). exp(10) ~ 22k x anchor dim — a
-        # no-op for any sane residual, incl. the parity-test ranges.
-        dxg = jnp.exp(jnp.minimum(dxt, 10.0)) * dxa
-        dyg = jnp.exp(jnp.minimum(dyt, 10.0)) * dya
-        dzg = jnp.exp(jnp.minimum(dzt, 10.0)) * dza
+        # campaign at the OneCycle peak). Symmetric clip at +-10 (exp(10)
+        # ~ 22k x anchor dim) — a no-op for any sane residual, incl. the
+        # parity-test ranges. Deliberate divergence from the reference's
+        # unclamped decode_torch (documented in PARITY.md).
+        dxg = jnp.exp(jnp.clip(dxt, -10.0, 10.0)) * dxa
+        dyg = jnp.exp(jnp.clip(dyt, -10.0, 10.0)) * dya
+        dzg = jnp.exp(jnp.clip(dzt, -10.0, 10.0)) * dza
         if self.encode_angle_by_sincos:
             rg = jnp.arctan2(sint + jnp.sin(ra), cost + jnp.cos(ra))
         else:

@@ -636,12 +636,32 @@ def band_train_enabled() -> bool:
     """Whether TRAINING 3D submanifold convs run the differentiable band
     kernel (custom VJP, _band_train) instead of the neighbor-map gather
     path. Replaces both the per-step 27-lookup map builds and the gather
-    convs with band kernels in forward AND backward. Off by default until
-    the wall-clock win is measured (VIRCONV_BAND_TRAIN=1); trace-time
-    capture, same caveat as :func:`band_enabled`."""
+    convs with band kernels in forward AND backward.
+
+    ON by default (VIRCONV_BAND_TRAIN=0 reverts): its stated gate is met —
+    the 450-epoch mini-KITTI campaign converged with it enabled
+    (docs/DESIGN.md §14) and it measures 2.67 vs 2.95 s/iter
+    (tools/bench_train.py). Gradients default to f32 matmuls on this path
+    (see :func:`band_train_bf16_enabled`) so precision matches the nmap
+    path it replaces. TPU only: the CPU fallback is interpret mode.
+    Trace-time capture, same caveat as :func:`band_enabled`."""
     import os
-    return os.environ.get('VIRCONV_BAND_TRAIN', '0') not in ('0', 'false',
-                                                             'False')
+    env = os.environ.get('VIRCONV_BAND_TRAIN')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    return jax.default_backend() == 'tpu'
+
+
+def band_train_bf16_enabled() -> bool:
+    """Whether the TRAIN band path computes in bf16 (f32 accumulation).
+
+    Default off: the train ctx inherits bf16 only when explicitly asked
+    (VIRCONV_BAND_TRAIN_BF16=1), keeping gradient precision at parity
+    with the f32 nmap train path (ADVICE r4: bf16 dW/dfeats silently
+    lowered precision while parity tests exercised bf16=False)."""
+    import os
+    return os.environ.get('VIRCONV_BAND_TRAIN_BF16', '0') not in (
+        '0', 'false', 'False')
 
 
 def feats_bf16_enabled() -> bool:
@@ -656,6 +676,27 @@ def feats_bf16_enabled() -> bool:
     import os
     return os.environ.get('VIRCONV_BF16_FEATS', '0') not in ('0', 'false',
                                                              'False')
+
+
+def dense2d_enabled() -> bool:
+    """Whether the NRConv image-plane 2D convs run as DENSE MXU convs.
+
+    The 2D grid is tiny (<=1400x600 cells at stride 1, shrinking 4x per
+    block), so scatter -> two dense convs -> gather beats every sparse
+    formulation: no sort/un-sort round trip, no per-tap gathers, no plan
+    build — the 3x3 convs run as dense convs in NCHW layout (channels
+    on the sublane axis; a channels-minor layout would pad C=8..32 rows to
+    128 lanes). Takes precedence over band2d when enabled.
+
+    Default OFF: measured 2.986 fps e2e vs 3.122 for the band 2D path
+    (v5e, FRAMES=1, round 5) — XLA's conv lowering at C=8..32 NCHW plus
+    the dense scatter cost more than the sort/band round trip they
+    replace. Kept as a tested experiment (tests/test_dense2d.py);
+    VIRCONV_DENSE2D=1 enables. Trace-time capture, same caveat as
+    :func:`band_enabled`."""
+    import os
+    return os.environ.get('VIRCONV_DENSE2D', '0') not in ('0', 'false',
+                                                          'False')
 
 
 def band2d_enabled() -> bool:
@@ -918,7 +959,8 @@ def subm_conv_ctx(st: SparseTensor, kernel_size, use_band: bool,
         pidx, pvalid, pnmap, bad_cnt, pcap = _band_patch(
             plan, lambda qk: lookup(keys, qk))
         statics = _BandStatics(plan.deltas, plan.group_of, plan.n_out,
-                               tile, block, bf16)
+                               tile, block,
+                               bf16 and band_train_bf16_enabled())
         # dW kernel: zero the rows of non-fitting tiles (their exact
         # contribution comes from the patch term in _band_train_bwd)
         bits_dw = jnp.where(plan.fits[:, None], plan.valid_bits, 0)

@@ -117,17 +117,51 @@ def load_checkpoint(path, template=None):
     if template is None:
         return restored
 
-    def rebuild(tmpl, got):
+    def pick(got, name, i, path):
+        """Field lookup tolerant of orbax's two NamedTuple serializations
+        (field-name keyed vs index keyed) and raw sequences."""
+        if isinstance(got, dict):
+            if name in got:
+                return got[name]
+            if str(i) in got:                 # index-keyed orbax versions
+                return got[str(i)]
+            raise ValueError(
+                f'checkpoint restore mismatch at {path!r}: field '
+                f'{name!r} (index {i}) absent from restored dict with '
+                f'keys {sorted(got)[:8]}')
+        if isinstance(got, (tuple, list)):
+            if i < len(got):
+                return got[i]
+            raise ValueError(
+                f'checkpoint restore mismatch at {path!r}: sequence of '
+                f'length {len(got)} has no index {i}')
+        raise ValueError(
+            f'checkpoint restore mismatch at {path!r}: expected a '
+            f'container for field {name!r}, restored {type(got).__name__}')
+
+    def rebuild(tmpl, got, path='/'):
         if hasattr(tmpl, '_fields'):          # NamedTuple: rebuild by name
-            vals = {f: rebuild(getattr(tmpl, f), got[f])
-                    for f in tmpl._fields}
+            vals = {f: rebuild(getattr(tmpl, f), pick(got, f, i, path),
+                               f'{path}{f}/')
+                    for i, f in enumerate(tmpl._fields)}
             return type(tmpl)(**vals)
         if isinstance(tmpl, (tuple, list)):
-            items = (got[str(i)] if isinstance(got, dict) else got[i]
-                     for i in range(len(tmpl)))
-            return type(tmpl)(rebuild(t, g) for t, g in zip(tmpl, items))
+            return type(tmpl)(
+                rebuild(t, pick(got, str(i), i, path), f'{path}{i}/')
+                for i, t in enumerate(tmpl))
         if isinstance(tmpl, dict):
-            return {k: rebuild(v, got[k]) for k, v in tmpl.items()}
+            if not isinstance(got, dict):
+                raise ValueError(
+                    f'checkpoint restore mismatch at {path!r}: expected '
+                    f'dict, restored {type(got).__name__}')
+            extra = set(got) - set(tmpl)
+            if extra:
+                raise ValueError(
+                    f'checkpoint restore mismatch at {path!r}: restored '
+                    f'keys {sorted(extra)[:8]} absent from the template '
+                    '(template/checkpoint structure drift)')
+            return {k: rebuild(v, pick(got, k, i, path), f'{path}{k}/')
+                    for i, (k, v) in enumerate(tmpl.items())}
         return got
     return rebuild(template, restored)
 
