@@ -94,6 +94,20 @@ def roi_pool_plan(st, query_xyz, query_coords, query_mask, q_per_roi: int,
     r = m_all // q
     assert r * q == m_all, (r, q, m_all)
     if nblk_cap is None:
+        # Candidate bands cover a ROI's full (y, x) AABB *z-columns*, so
+        # the per-ROI count scales ~1/stride^2: at stride 8 (x_conv4) two
+        # CBLK blocks/ROI hold KITTI occupancy, at stride 4 (x_conv3) the
+        # round-5 trace showed 5-8 blocks/ROI — plan.ok is False every
+        # frame there and the kernel falls back to the probe path (found
+        # by device trace; round 4's silent-exact-fallback mode again).
+        # A 10-blocks/ROI budget for stride < 8 was built and MEASURED
+        # SLOWER e2e (2.993 vs 3.119 fps): at this block geometry the
+        # kernel's per-block (Q x CBLK) rank/gather work grows ~5x while
+        # the probe path's cost is unchanged, and the 5x plan build is
+        # paid unconditionally. Kept at 2/ROI (stride-8 wins only) until
+        # the x_conv3 bands are z-range-restricted (the candidate columns
+        # span the full z extent; the window needs only +-rz cells, a
+        # ~3x candidate cut) — docs/DESIGN.md §15.
         nblk_cap = 2 * r + 32
     d, h, w = st.spatial_shape
     strides, m_entry = key_strides(st.spatial_shape)   # z:1, x:D, y:W*D
