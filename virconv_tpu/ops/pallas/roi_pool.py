@@ -104,10 +104,12 @@ def roi_pool_plan(st, query_xyz, query_coords, query_mask, q_per_roi: int,
         # SLOWER e2e (2.993 vs 3.119 fps): at this block geometry the
         # kernel's per-block (Q x CBLK) rank/gather work grows ~5x while
         # the probe path's cost is unchanged, and the 5x plan build is
-        # paid unconditionally. Kept at 2/ROI (stride-8 wins only) until
-        # the x_conv3 bands are z-range-restricted (the candidate columns
-        # span the full z extent; the window needs only +-rz cells, a
-        # ~3x candidate cut) — docs/DESIGN.md §15.
+        # paid unconditionally. Kept at 2/ROI (stride-8 wins only).
+        # z-restricting the bands does NOT help at stride 4: the grid is
+        # only ~11 z-cells deep while a dilated car ROI's z-window is ~16
+        # — the column is already inside the window. The viable lever is
+        # sub-ROI (octant) tiling: reshape (R, 216) queries to (R*8, 27)
+        # so each octant's AABB bands shrink ~4-8x — docs/DESIGN.md §15.
         nblk_cap = 2 * r + 32
     d, h, w = st.spatial_shape
     strides, m_entry = key_strides(st.spatial_shape)   # z:1, x:D, y:W*D
