@@ -11,14 +11,15 @@ box conversion, KITTI-format prediction dicts). Host post-processing of
 batch k overlaps the device compute of batch k+1, exactly as the serving
 loop would pipeline it; the device stream is synced before timestamps.
 
-Batching: FRAMES=1 (3 batch entries with the ROT_NUM=3 replicas). Measured
-on v5e round 4 (after the strided band-conv slow-path fix, docs/DESIGN.md
-§14): B=1 318 ms/frame vs B=3 354 ms/frame — the round-3 gap (416 vs 583)
-was mostly the strided patch-cap overflow tripping a per-layer nmap
-fallback whose dense tables grew superlinearly past the lookup budget at
-9 entries. The remaining ~36 ms/frame at B=3 (n log n sorts, 3x dense
-tables) keeps FRAMES=1 the measured-best dispatch size. The int32 key
-space bounds batch*replicas at 9 entries either way (see ops/sparse.py).
+Batching: FRAMES=2 (6 batch entries with the ROT_NUM=3 replicas) — the
+measured-best dispatch size on v5e as of round 5: B=2 312.5 ms/frame e2e
+(3.200 fps/frame) vs B=1 320.4 (3.122) vs B=3 354 (2.803, round-4
+measurement after the strided band-conv slow-path fix). The batching
+curve is a tradeoff between amortizing plan builds / small-layer
+dispatch (wins at B=2) and the superlinear tail the round-4 trace work
+attributed to n log n sorts and per-entry dense-table builds (loses at
+B=3, where batch*replicas hits the int32 key-space cap of 9 entries —
+see ops/sparse.py). VIRCONV_BENCH_FRAMES overrides for A/Bs.
 
 Baseline note: the reference publishes no throughput (SURVEY.md §6); the
 VirConv paper reports ~92 ms/frame for VirConv-T on an RTX 3090-class GPU
@@ -37,7 +38,7 @@ import os as _os
 BASELINE_FPS = 11.0
 # frames per dispatch (see Batching note above); VIRCONV_BENCH_FRAMES
 # overrides for batching A/Bs without editing the file
-FRAMES = int(_os.environ.get('VIRCONV_BENCH_FRAMES', '1'))
+FRAMES = int(_os.environ.get('VIRCONV_BENCH_FRAMES', '2'))
 
 
 def build_full_scale(frames=FRAMES):
