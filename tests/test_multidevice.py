@@ -26,6 +26,31 @@ from test_model_forward import make_batch, tiny_cfg
 pytestmark = pytest.mark.skipif(
     jax.device_count() < 8, reason='needs the 8-device virtual CPU mesh')
 
+
+@pytest.fixture(scope='module', autouse=True)
+def _pin_matmul_precision_and_cache():
+    """Pin matmul precision to the default for this module's compiles.
+
+    Several numeric-parity modules set jax_default_matmul_precision=
+    'highest' at import time — a process-global leak. In a full-suite run
+    those imports happen first, so this module's large 8-partition train
+    -step compile got a DIFFERENT compile-cache key than a standalone run:
+    a guaranteed in-suite cache miss. Serializing the resulting multi
+    -hundred-MB XLA:CPU executable for the cache write crashes the long
+    -lived suite process (observed SIGABRT and SIGSEGV inside
+    compilation_cache.put_executable_and_time at the same suite position).
+    Pinning the default here makes in-suite and standalone keys equal (the
+    seeded cache entry hits, nothing recompiles); suppressing persistent
+    -cache WRITES for the module keeps a miss from re-entering the crashy
+    serialization path (reads are unaffected)."""
+    prev_prec = jax.config.jax_default_matmul_precision
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update('jax_default_matmul_precision', None)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1e9)
+    yield
+    jax.config.update('jax_default_matmul_precision', prev_prec)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', prev_min)
+
 OPT_CFG = CfgNode({'OPTIMIZER': 'adam_onecycle', 'LR': 0.01,
                    'WEIGHT_DECAY': 0.01, 'MOMS': [0.95, 0.85],
                    'PCT_START': 0.4, 'DIV_FACTOR': 10,
