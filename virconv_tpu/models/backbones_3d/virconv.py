@@ -174,8 +174,10 @@ class NRConvBlock(nn.Module):
                                      first_wins_sources=True)
             d2 = SubMConvBlock(half, name='d2_conv1')(st2s, ctx2d, train)
             d2 = SubMConvBlock(half, name='d2_conv2')(d2, ctx2d, train)
-            inv = jnp.zeros_like(perm).at[perm].set(
-                jnp.arange(perm.shape[0], dtype=perm.dtype))
+            # inverse permutation via a second sort, not a scatter: TPU
+            # scatter throughput is far below sort/gather (DESIGN.md §8),
+            # and this sat on the mm stream's measured 17 ms scatter budget
+            inv = jnp.argsort(perm)
             d2_feats = d2.feats[inv]
 
         return d3.replace(feats=jnp.concatenate([d3.feats, d2_feats], -1))
