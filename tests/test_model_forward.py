@@ -114,6 +114,43 @@ def tiny_cfg(mm=True):
     return CfgNode(model), CfgNode(data)
 
 
+def shrink_cfg(model_cfg, data_cfg):
+    """Width-shrunk preset of the tiny config (same graph structure,
+    smaller widths) — shared by the driver's dryrun_multichip
+    (__graft_entry__), the always-on 8-device smoke, and the always-on
+    band-integration variant, so one definition guards preset drift.
+    Returns the suggested n_pts for batches of this preset."""
+    b3 = model_cfg.BACKBONE_3D
+    b3.NUM_FILTERS = [8, 8, 16, 16]
+    b3.OUT_FEATURES = 16
+    model_cfg.MAP_TO_BEV.NUM_BEV_FEATURES = 32
+    b2 = model_cfg.BACKBONE_2D
+    b2.NUM_FILTERS = [16, 32]
+    b2.NUM_UPSAMPLE_FILTERS = [16, 16]
+    model_cfg.DENSE_HEAD.TARGET_ASSIGNER_CONFIG.SAMPLE_SIZE = 256
+    rh = model_cfg.ROI_HEAD
+    rh.PART.IN_CHANNEL = 32
+    rh.SHARED_FC = [32, 32]
+    rh.CLS_FC = [32, 32]
+    rh.REG_FC = [32, 32]
+    rh.NMS_CONFIG.TRAIN.NMS_PRE_MAXSIZE = 64
+    rh.NMS_CONFIG.TRAIN.NMS_POST_MAXSIZE = 16
+    rh.NMS_CONFIG.TEST.NMS_PRE_MAXSIZE = 64
+    rh.NMS_CONFIG.TEST.NMS_POST_MAXSIZE = 16
+    for s in ('STAGE0', 'STAGE1'):
+        rh.TARGET_CONFIG[s].ROI_PER_IMAGE = 16
+    for pool_key in ('ROI_GRID_POOL', 'ROI_GRID_POOL_MM'):
+        p = rh[pool_key]
+        p.GRID_SIZE = 3
+        for lc in p.POOL_LAYERS.values():
+            lc.QUERY_RANGES = [[1, 1, 1], [2, 2, 2]]
+            lc.NSAMPLE = [4, 4]
+            lc.MLPS = [[8, 8], [8, 8]]
+    data_cfg.DATA_PROCESSOR[2].MAX_NUMBER_OF_VOXELS = {
+        'train': 1024, 'test': 1024}
+    return 512
+
+
 def make_batch(rng, n_entries=1, n_pts=1500, train=True, n_rep=1):
     pcr = [0, -8, -3, 16, 8, 1]
     calib = identity_calib(fu=200.0, fv=200.0, cu=700.0, cv=300.0)

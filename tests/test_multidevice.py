@@ -76,13 +76,28 @@ def model_and_batch():
     return model, batch
 
 
-def test_train_step_8dev_smoke(model_and_batch):
+@pytest.fixture(scope='module')
+def small_model_and_batch():
+    """Width-shrunk preset (the dryrun_multichip config, shared via
+    shrink_cfg) — keeps the always-on smoke's in-suite compile around a
+    minute instead of ~3 (the tiny-width compile at suite position had
+    a guaranteed cache miss, PARITY.md round-5 notes)."""
+    from test_model_forward import shrink_cfg
+    model_cfg, data_cfg = tiny_cfg(mm=True)
+    n_pts = shrink_cfg(model_cfg, data_cfg)
+    model = VoxelRCNN(model_cfg=model_cfg, dataset_cfg=data_cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, n_entries=8, n_pts=n_pts, train=True)
+    return model, batch
+
+
+def test_train_step_8dev_smoke(small_model_and_batch):
     """Always-on smoke: the 8-device dp train step compiles, executes, and
     produces a finite loss with params/stats placed replicated — the same
-    program the driver's dryrun_multichip validates. The full 8-dev-vs-1-dev
-    equality check is the `slow` test below (two multi-minute XLA-CPU
-    compiles)."""
-    model, batch = model_and_batch
+    program (and width preset) the driver's dryrun_multichip validates.
+    The full 8-dev-vs-1-dev equality check is the `slow` test below (two
+    multi-minute XLA-CPU compiles at tiny widths)."""
+    model, batch = small_model_and_batch
     rngs = {'params': jax.random.PRNGKey(0), 'stvd': jax.random.PRNGKey(1),
             'sampling': jax.random.PRNGKey(2),
             'dropout': jax.random.PRNGKey(3)}

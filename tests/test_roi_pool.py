@@ -161,6 +161,50 @@ def test_plan_overflow_flips_ok():
     assert not bool(plan2.ok)
 
 
+def test_tile_layout_roundtrip():
+    """gather -> inv must be the identity on real queries, for even and
+    odd grid sizes (odd g gives unequal quadrant sizes)."""
+    for g in (3, 4, 6):
+        gather, tval, inv, qp = vp._tile_layout(g)
+        gather, tval, inv = (np.asarray(gather), np.asarray(tval),
+                             np.asarray(inv))
+        assert qp % 8 == 0 and tval.sum() == g ** 3
+        # tiled row inv[r] holds original row r
+        np.testing.assert_array_equal(gather[inv], np.arange(g ** 3))
+        assert tval[inv].all()
+
+
+def test_sa_module_tiled_kernel_matches_untiled(monkeypatch):
+    """Quadrant tiling must be output-invariant: per-query math is
+    identical, only the plan segmentation changes."""
+    rng = np.random.default_rng(17)
+    st = _make_st(rng, 2, 2000, 2560, 16, cluster_at=(6.0, 1.0, -1.0))
+    g = 4
+    qxyz, qc, qmask = _make_queries(rng, 8, g, 2,
+                                    centers=[(6.0, 1.0, -1.0)])
+    mod = vp.NeighborVoxelSAModule(
+        query_ranges=((2, 2, 2), (4, 4, 4)), radii=(0.4, 0.8),
+        nsamples=(8, 8), mlps=((8, 16), (8, 16)), voxel_size=VOX,
+        point_cloud_range=PCR)
+    variables = mod.init(jax.random.PRNGKey(0), st, 1, qxyz, qc, qmask,
+                         True)
+    monkeypatch.setenv('VIRCONV_POOL_KERNEL', '1')
+    monkeypatch.setenv('VIRCONV_POOL_TILE', '0')
+    ref = mod.apply(variables, st, 1, qxyz, qc, qmask, False,
+                    q_per_roi=g ** 3)
+    monkeypatch.setenv('VIRCONV_POOL_TILE', '1')
+    got = mod.apply(variables, st, 1, qxyz, qc, qmask, False,
+                    q_per_roi=g ** 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    # and the tiled kernel path itself must match the probe oracle
+    monkeypatch.setenv('VIRCONV_POOL_KERNEL', '0')
+    oracle = mod.apply(variables, st, 1, qxyz, qc, qmask, False,
+                       q_per_roi=g ** 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_sa_module_kernel_path_matches_probe_path(monkeypatch):
     rng = np.random.default_rng(13)
     st = _make_st(rng, 2, 2000, 2560, 16, cluster_at=(6.0, 1.0, -1.0))

@@ -13,6 +13,7 @@ max-pool — all static shapes, batched over every ROI grid point at once.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Any, NamedTuple, Sequence, Tuple
 
@@ -387,6 +388,58 @@ def pool_bf16_enabled() -> bool:
                                                             'False')
 
 
+def pool_tile_enabled(stride) -> bool:
+    """Sub-ROI (quadrant) tiling of the pooling kernel's query grid.
+
+    At stride 4 (x_conv3) a full ROI's candidate bands are 5-8 CBLK
+    blocks (the plan's z-columns cover the whole (y, x) AABB and counts
+    scale ~1/stride^2), which overflows the measured-best block budget —
+    the round-5 trace showed the kernel silently falling back to the
+    probe path there every frame (docs/DESIGN.md §15). Splitting each
+    ROI's grid into four (x, y) quadrant tiles shrinks each tile's AABB
+    bands ~4x so the per-segment count returns to kernel-friendly
+    territory, at 1/4 the per-block rank/gather cost (Q=54+pad vs 216).
+    A z split would cut nothing: at stride 4 the grid is ~11 z-cells
+    deep vs a dilated window of ~16, so the full column is already
+    inside every window. Default: tile below stride 8 (where the
+    untiled plan is known to overflow); VIRCONV_POOL_TILE=0/1 overrides
+    for A/Bs."""
+    import os
+    env = os.environ.get('VIRCONV_POOL_TILE')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    return stride < 8
+
+
+@functools.lru_cache(maxsize=None)
+def _tile_layout(g: int):
+    """Static (x, y)-quadrant split of the g^3 ROI query grid.
+
+    dense_grid_points orders a ROI's queries r = a*g^2 + b*g + c with
+    (a, b, c) = local (x, y, z) grid index. Returns
+      gather (4*qp,) i32: tiled-layout row -> original row (pads -> 0),
+      tval   (4*qp,) bool: real-query mask (False on per-tile pads),
+      inv    (g^3,)  i32: original row -> tiled-layout row,
+      qp     int: per-tile query count, padded to a sublane multiple.
+    """
+    idx = np.arange(g ** 3)
+    a = idx // (g * g)
+    b = (idx // g) % g
+    half = (g + 1) // 2
+    t = (a >= half).astype(np.int64) * 2 + (b >= half)
+    qp = -(-(half * half * g) // 8) * 8
+    gather = np.zeros((4, qp), np.int32)
+    tval = np.zeros((4, qp), bool)
+    inv = np.zeros((g ** 3,), np.int32)
+    for ti in range(4):
+        rows = idx[t == ti]
+        gather[ti, :len(rows)] = rows
+        tval[ti, :len(rows)] = True
+        inv[rows] = ti * qp + np.arange(len(rows))
+    return (jnp.asarray(gather.reshape(-1)), jnp.asarray(tval.reshape(-1)),
+            jnp.asarray(inv), qp)
+
+
 class NeighborVoxelSAModule(nn.Module):
     """Multi-scale-group voxel SA module (NeighborVoxelSAModuleMSG)."""
 
@@ -445,10 +498,33 @@ class NeighborVoxelSAModule(nn.Module):
             # eval _MomentBN ignores the moment args (running stats)
             affines.append(_MomentBN(mid, name=f'mlp_pos_bn{g}')(
                 jnp.zeros((mid,)), jnp.ones((mid,)), 1.0, False))
-        plan = roi_pool_plan(st, query_xyz, query_coords, query_mask,
-                             q_per_roi, tuple(self.query_ranges[-1]),
+        # quadrant tiling (see pool_tile_enabled): both cond branches run
+        # on the tiled query layout so their output shapes agree; the
+        # per-query math is identical, so un-tiling afterwards restores
+        # the exact untiled result.
+        g_grid = round(q_per_roi ** (1.0 / 3.0))
+        tiled = (g_grid ** 3 == q_per_roi and g_grid >= 2
+                 and pool_tile_enabled(stride))
+        if tiled:
+            t_gather, t_val, t_inv, qp_t = _tile_layout(g_grid)
+            r0 = query_xyz.shape[0] // q_per_roi
+            q_xyz_p = query_xyz.reshape(r0, q_per_roi, 3)[
+                :, t_gather].reshape(-1, 3)
+            q_crd_p = query_coords.reshape(r0, q_per_roi, 4)[
+                :, t_gather].reshape(-1, 4)
+            q_msk_p = (query_mask.reshape(r0, q_per_roi)[:, t_gather]
+                       & t_val[None]).reshape(-1)
+            qpr = qp_t
+            # budget 3 CBLK blocks per tile segment (+ slack): the
+            # expected stride-4 quadrant count (docs/DESIGN.md §15)
+            nblk_cap = 3 * (r0 * 4) + 32
+        else:
+            q_xyz_p, q_crd_p, q_msk_p = query_xyz, query_coords, query_mask
+            qpr, nblk_cap = q_per_roi, None
+        plan = roi_pool_plan(st, q_xyz_p, q_crd_p, q_msk_p,
+                             qpr, tuple(self.query_ranges[-1]),
                              self.voxel_size, stride,
-                             self.point_cloud_range)
+                             self.point_cloud_range, nblk_cap=nblk_cap)
         interp = jax.default_backend() != 'tpu'
         bf16 = pool_bf16_enabled() and not interp
 
@@ -464,7 +540,7 @@ class NeighborVoxelSAModule(nn.Module):
         def slow(fg):
             tbl = table if table is not None else build_pool_tables(st)
             queries = voxel_query_groups(
-                st, tbl, query_xyz, query_coords, query_mask, specs,
+                st, tbl, q_xyz_p, q_crd_p, q_msk_p, specs,
                 self.voxel_size, stride, self.point_cloud_range,
                 chunk_budget=CHUNK_BUDGET_EVAL)
             outs = []
@@ -472,8 +548,8 @@ class NeighborVoxelSAModule(nn.Module):
                 idx, valid, centers = queries[g]
                 mult, bias = affines[g]
                 grouped = fg[g][idx] * valid[..., None].astype(fg[g].dtype)
-                qm_rows = query_mask[:, None] & jnp.ones_like(valid)
-                rel = (centers - query_xyz[:, None, :]) * valid[..., None]
+                qm_rows = q_msk_p[:, None] & jnp.ones_like(valid)
+                rel = (centers - q_xyz_p[:, None, :]) * valid[..., None]
                 pos = rel @ w_pos_g[g] * mult + bias
                 pos = jnp.where(qm_rows[..., None], pos, 0.0)
                 x = nn.relu(grouped + pos)
@@ -481,7 +557,10 @@ class NeighborVoxelSAModule(nn.Module):
                 outs.append(x.max(axis=1))
             return jnp.stack(outs)
 
-        pooled = jax.lax.cond(plan.ok, fast, slow, feats_g)   # (G, M, mid)
+        pooled = jax.lax.cond(plan.ok, fast, slow, feats_g)   # (G, M', mid)
+        if tiled:
+            pooled = pooled.reshape(n_g, r0, 4 * qp_t, mid)[:, :, t_inv]
+            pooled = pooled.reshape(n_g, r0 * q_per_roi, mid)
         outs = []
         for g in range(n_g):
             out_c = self.mlps[g][1]
