@@ -401,14 +401,16 @@ def pool_tile_enabled(stride) -> bool:
     territory, at 1/4 the per-block rank/gather cost (Q=54+pad vs 216).
     A z split would cut nothing: at stride 4 the grid is ~11 z-cells
     deep vs a dilated window of ~16, so the full column is already
-    inside every window. Default: tile below stride 8 (where the
-    untiled plan is known to overflow); VIRCONV_POOL_TILE=0/1 overrides
-    for A/Bs."""
+    inside every window. Default: OFF until the e2e A/B on the chip
+    confirms a win over the probe fallback (the configuration behind
+    the measured-best 3.220 fps); VIRCONV_POOL_TILE=1 enables below
+    stride 8 for A/Bs — flip the default here once the tiled number is
+    in hand."""
     import os
     env = os.environ.get('VIRCONV_POOL_TILE')
     if env is not None:
-        return env not in ('0', 'false', 'False')
-    return stride < 8
+        return env not in ('0', 'false', 'False') and stride < 8
+    return False
 
 
 @functools.lru_cache(maxsize=None)
