@@ -401,11 +401,12 @@ def pool_tile_enabled(stride) -> bool:
     territory, at 1/4 the per-block rank/gather cost (Q=54+pad vs 216).
     A z split would cut nothing: at stride 4 the grid is ~11 z-cells
     deep vs a dilated window of ~16, so the full column is already
-    inside every window. Default: OFF until the e2e A/B on the chip
-    confirms a win over the probe fallback (the configuration behind
-    the measured-best 3.220 fps); VIRCONV_POOL_TILE=1 enables below
-    stride 8 for A/Bs — flip the default here once the tiled number is
-    in hand."""
+    inside every window. MEASURED SLOWER e2e (2.966 vs 3.220 fps,
+    FRAMES=2, v5e): the per-segment one-block floor (4 blocks/ROI even
+    for empty ROIs), the 6x larger unconditional plan build, and the
+    kernel grid running every budgeted program outweigh quartering the
+    per-block cost — docs/DESIGN.md §16. Default OFF;
+    VIRCONV_POOL_TILE=1 keeps it runnable below stride 8 for A/Bs."""
     import os
     env = os.environ.get('VIRCONV_POOL_TILE')
     if env is not None:
