@@ -36,7 +36,7 @@ if 'collective_call_terminate' not in _flags:
     # collective minutes apart, far beyond XLA:CPU's default 40 s
     # rendezvous termination (first attempt died in rendezvous.cc with
     # "only 3 of 8 arrived"). Harmless on real multi-chip topologies.
-    _flags += (' --xla_cpu_collective_call_warn_stuck_seconds=600'
+    _flags += (' --xla_cpu_collective_call_warn_stuck_timeout_seconds=600'
                ' --xla_cpu_collective_call_terminate_timeout_seconds=7200'
                ' --xla_cpu_collective_timeout_seconds=7200')
 os.environ['XLA_FLAGS'] = _flags
